@@ -1,0 +1,70 @@
+"""CAAT (decoupled attention transducer) configuration.
+
+Defaults mirror the published fine-tune recipe
+(``wav2vec_s_scripts/train/train_wav2vec_s_caat_simulst_base.sh`` +
+``w2v2_caat`` architecture, rain/models/w2v2_transducer.py:317-347):
+768-d decoder LM (6 layers, pre-LN, relu, shared in/out embedding), 6-layer
+768-d MHA jointer, transducer_downsample 64 with sampled decision steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class CaatConfig:
+    vocab_size: int = 10000
+    # fairseq dictionary special symbols
+    bos: int = 0            # doubles as the transducer blank (rain
+                            # attention_transducer.py:871: blank = dictionary.bos())
+    pad: int = 1
+    eos: int = 2
+    # decoder LM (IsolatedDecoder)
+    decoder_layers: int = 6
+    decoder_embed_dim: int = 768
+    decoder_ffn_embed_dim: int = 3072
+    decoder_attention_heads: int = 12
+    decoder_normalize_before: bool = True
+    share_input_output_embed: bool = True
+    rand_pos_decoder: int = 30
+    max_target_positions: int = 1024
+    # jointer
+    jointer_layers: int = 6
+    jointer_embed_dim: int = 768
+    jointer_ffn_embed_dim: int = 3072
+    jointer_attention_heads: int = 12
+    transducer_downsample: int = 64
+    step_mode: str = "random"            # "constant" | "random"
+    # training-time sampled decision steps: {2,4,10,20} * scale
+    # (rain attention_transducer.py:800-815; scale 8 iff downsample==32)
+    # loss
+    delay_scale: float = 1.0
+    delay_func: str = "diag_positive"
+    transducer_label_smoothing: float = 0.1
+    transducer_ce_scale: float = 1.0
+    tokens_per_step: int = 6000
+    # dropouts
+    dropout: float = 0.3
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.1
+    dtype: str = "float32"
+
+    @property
+    def step_scale(self) -> int:
+        return 8 if self.transducer_downsample == 32 else 16
+
+    @property
+    def sampled_steps(self) -> Tuple[int, ...]:
+        return tuple(s * self.step_scale for s in (2, 4, 10, 20))
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def caat_base_config(**kw) -> CaatConfig:
+    return CaatConfig(**kw)

@@ -1,0 +1,67 @@
+"""Waveform conv front-end: 7 strided Conv1d blocks, 320x downsampling.
+
+Behavioral twin of ``ConvFeatureExtractionModel``
+(fairseq/fairseq/models/wav2vec/wav2vec2.py:702-781) including the fork's
+``layer_norm_num`` quirk (layer-norm only in the first N conv blocks,
+wav2vec2.py:317,766: N=1 for 12-layer/base, N=7 for 24-layer/large configs).
+
+TPU-first: feature-last [B, T, C] layout so every conv lowers to an MXU
+matmul after im2col; VALID padding (torch default padding=0); norms in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from wav2vec_s_tpu.models.modules import Fp32GroupNorm, LayerNorm
+
+# (dim, kernel, stride) per block — `conv_feature_layers` default
+DEFAULT_CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
+    (512, 10, 5), (512, 3, 2), (512, 3, 2), (512, 3, 2),
+    (512, 3, 2), (512, 2, 2), (512, 2, 2),
+)
+
+
+def conv_output_length(t: int, layers=DEFAULT_CONV_LAYERS) -> int:
+    for _, k, s in layers:
+        t = (t - k) // s + 1
+    return t
+
+
+def conv_receptive_stride(layers=DEFAULT_CONV_LAYERS) -> tuple[int, int]:
+    """(receptive_field, hop) in samples — (400, 320) for the default stack."""
+    rf, hop = 1, 1
+    for _, k, s in layers:
+        rf = rf + (k - 1) * hop
+        hop *= s
+    return rf, hop
+
+
+class ConvFeatureExtractor(nn.Module):
+    conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
+    mode: str = "default"          # "default" (group-norm block 0) | "layer_norm"
+    layer_norm_num: int = 1        # fork quirk: LN only in first N blocks
+    conv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, source: jnp.ndarray) -> jnp.ndarray:
+        """source: [B, T_samples] raw waveform -> [B, T_frames, C]."""
+        assert self.mode in ("default", "layer_norm")
+        x = source[:, :, None].astype(self.dtype)  # [B, T, 1]
+        for i, (dim, k, stride) in enumerate(self.conv_layers):
+            x = nn.Conv(
+                features=dim, kernel_size=(k,), strides=(stride,),
+                padding="VALID", use_bias=self.conv_bias,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype, name=f"conv_{i}")(x)
+            if self.mode == "layer_norm" and i < self.layer_norm_num:
+                x = LayerNorm(dim, name=f"ln_{i}")(x)
+            elif self.mode == "default" and i == 0:
+                x = Fp32GroupNorm(dim, dim, name=f"gn_{i}")(x)
+            x = jax.nn.gelu(x, approximate=False)
+        return x
