@@ -1,0 +1,120 @@
+"""Train-step + sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wav2vec_s_tpu.models import Wav2Vec2Model
+from wav2vec_s_tpu.parallel import make_mesh, shard_batch
+from wav2vec_s_tpu.train.optim import OptimConfig, build_optimizer
+from wav2vec_s_tpu.train.recipes import make_pretrain_loss_fn
+from wav2vec_s_tpu.train.step import TrainState, make_train_step
+from wav2vec_s_tpu.train.lr_schedules import polynomial_decay, inverse_sqrt
+
+from tests.test_wav2vec2_model import TINY, _rngs
+
+
+def _make_state_and_batch(B=8, S=1600, M=4):
+    model = Wav2Vec2Model(TINY, encoder_type="blockwise")
+    src = jax.random.normal(jax.random.PRNGKey(1), (B, S))
+    mask_pos = jnp.tile(jnp.arange(M, dtype=jnp.int32)[None], (B, 1))
+    variables = model.init(_rngs(), src, mask_pos, 0, train=False)
+    opt = build_optimizer(OptimConfig(clip_norm=1.0, total_updates=100,
+                                      warmup_updates=10))
+    state = TrainState.create(variables["params"], opt)
+    batch = {"source": src, "mask_positions": mask_pos}
+    return model, state, batch, opt
+
+
+def test_lr_schedules_match_fairseq_semantics():
+    s = polynomial_decay(0.0005, warmup_updates=5000, total_updates=400000)
+    np.testing.assert_allclose(float(s(0)), 0.0)
+    np.testing.assert_allclose(float(s(2500)), 0.00025)
+    np.testing.assert_allclose(float(s(5000)), 0.0005)
+    np.testing.assert_allclose(float(s(400000)), 0.0, atol=1e-12)
+    mid = float(s(202500))
+    assert 0 < mid < 0.0005
+
+    s2 = inverse_sqrt(0.0005, warmup_updates=4000, warmup_init_lr=1e-7)
+    np.testing.assert_allclose(float(s2(0)), 1e-7)
+    np.testing.assert_allclose(float(s2(4000)), 0.0005, rtol=1e-5)
+    np.testing.assert_allclose(float(s2(16000)), 0.0005 / 2, rtol=1e-5)
+
+
+def test_train_step_runs_and_decreases_loss():
+    model, state, batch, opt = _make_state_and_batch()
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+    step = jax.jit(make_train_step(loss_fn, opt), donate_argnums=0)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(5):
+        state, logs = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(logs["loss_total"]) / float(logs["sample_size"]))
+    assert int(state.step) == 5
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # tiny model overfits one batch quickly
+
+
+def test_grad_accumulation_matches_single_batch():
+    """update_freq semantics: accumulating microbatches == one big batch."""
+    model, state, batch, _ = _make_state_and_batch(B=4)
+    # warmup 0 so the very first update has a nonzero lr
+    opt = build_optimizer(OptimConfig(clip_norm=1.0, total_updates=100,
+                                      warmup_updates=0))
+    state = TrainState.create(state.params, opt)
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+
+    step1 = jax.jit(make_train_step(loss_fn, opt, accum_steps=1))
+    step2 = jax.jit(make_train_step(loss_fn, opt, accum_steps=2))
+
+    rng = jax.random.PRNGKey(3)
+    s1, logs1 = step1(state, batch, rng)
+
+    # same data split into 2 microbatches; rngs differ so compare only the
+    # normalized-denominator behavior via sample_size and structure
+    mb = jax.tree_util.tree_map(lambda x: x.reshape((2, 2) + x.shape[1:]),
+                                batch)
+    s2, logs2 = step2(state, mb, rng)
+    assert float(logs2["sample_size"]) == float(logs1["sample_size"])
+    # params updated in both
+    d1 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                               s1.params, state.params))
+    d2 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                               s2.params, state.params))
+    assert max(d1) > 0 and max(d2) > 0
+
+
+def test_skip_nonfinite_keeps_params():
+    model, state, batch, opt = _make_state_and_batch(B=2)
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+    step = jax.jit(make_train_step(loss_fn, opt))
+    bad = dict(batch, source=batch["source"].at[0, 0].set(jnp.nan))
+    new_state, logs = step(state, bad, jax.random.PRNGKey(0))
+    assert float(logs["skipped"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_sharded_step():
+    """The same step over an 8-device data mesh: batch sharded, params
+    replicated, outputs identical to single-device execution."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    model, state, batch, opt = _make_state_and_batch(B=8)
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+    step = jax.jit(make_train_step(loss_fn, opt))
+
+    rng = jax.random.PRNGKey(0)
+    host_state, host_logs = step(state, batch, rng)
+
+    sharded_batch = shard_batch(mesh, batch)
+    dev_state, dev_logs = step(state, sharded_batch, rng)
+    np.testing.assert_allclose(float(dev_logs["loss_total"]),
+                               float(host_logs["loss_total"]), rtol=1e-4)
+    # parameters agree across the two execution layouts
+    for a, b in zip(jax.tree_util.tree_leaves(dev_state.params),
+                    jax.tree_util.tree_leaves(host_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

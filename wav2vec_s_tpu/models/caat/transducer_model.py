@@ -117,7 +117,7 @@ def caat_loss(joint_h, embed_or_proj, targets, group_lens, tgt_lens, cfg: CaatCo
     W = embed_or_proj.astype(jnp.float32)
     delay_fn = DELAY_FUNCS[cfg.delay_func]
 
-    chunk_b = max(1, cfg.tokens_per_step // (G * U1))
+    chunk_b = max(1, min(B, cfg.tokens_per_step // (G * U1)))
     n_chunks = math.ceil(B / chunk_b)
     pad_b = n_chunks * chunk_b - B
 

@@ -157,19 +157,26 @@ def delay_transducer_loss(acts, labels, act_lens, label_lens, delay_values,
 # --- delay cost schedules (twin of warprnnt_pytorch/delay_transducer.py) ---
 
 def delay_cost_zero(shape, act_lens, label_lens):
-    """dv[b, t, u] = t / T_b (cost of *any* emission at source step t)."""
+    """dv[b, t, u] = t / T_b (cost of *any* emission at source step t).
+
+    Lengths are clamped to >= 1: zero-length rows (batch padding) would
+    otherwise produce 0/0 = NaN which poisons the backward pass even when the
+    row's loss is masked out.
+    """
     B, T, U1 = shape
     t = jnp.arange(T, dtype=jnp.float32)[None, :, None]
-    return jnp.broadcast_to(t / act_lens.astype(jnp.float32)[:, None, None],
-                            (B, T, U1))
+    al = jnp.maximum(act_lens, 1).astype(jnp.float32)[:, None, None]
+    return jnp.broadcast_to(t / al, (B, T, U1))
 
 
 def _diag_terms(shape, act_lens, label_lens):
     B, T, U1 = shape
     src = jnp.arange(T, dtype=jnp.float32)[None, :, None] + 1.0
     tgt = jnp.arange(U1, dtype=jnp.float32)[None, None, :] + 1.0
-    gamma = (label_lens / act_lens.astype(jnp.float32))[:, None, None]
-    return src * gamma - tgt, label_lens.astype(jnp.float32)[:, None, None]
+    al = jnp.maximum(act_lens, 1).astype(jnp.float32)[:, None, None]
+    ll = jnp.maximum(label_lens, 1).astype(jnp.float32)[:, None, None]
+    gamma = ll / al
+    return src * gamma - tgt, ll
 
 
 def delay_cost_diag_positive(shape, act_lens, label_lens):

@@ -1,0 +1,2 @@
+from wav2vec_s_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated, shard_batch, MeshAxes)

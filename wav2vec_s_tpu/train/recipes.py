@@ -1,0 +1,92 @@
+"""Loss-fn adapters binding models to the generic train step.
+
+The two training recipes of the reference (SURVEY §3.1/§3.2):
+- streaming pre-training: InfoNCE + diversity + features_pen over sampled
+  block contexts;
+- CAAT fine-tuning: delay-transducer + label-smoothed CE driven through the
+  joint lattice.
+
+Static context (mc, rc) / decision step (downsample) are bound at factory
+time: the sampled-context schedule draws a bucket host-side per update and
+dispatches to the matching compiled executable (one compile per bucket,
+replacing the reference's per-batch python ``random.randint``
+(wav2vec_S.py:392-395) which is free on GPU eager but would be a
+recompilation storm under XLA).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from wav2vec_s_tpu.train.criterion import wav2vec_loss
+from wav2vec_s_tpu.models.caat.transducer_model import caat_loss
+
+PRETRAIN_RNG_NAMES = ("dropout", "gumbel", "negatives", "layerdrop")
+CAAT_RNG_NAMES = ("dropout", "layerdrop", "rand_pos")
+
+
+def _rng_dict(rng, names):
+    keys = jax.random.split(rng, len(names))
+    return dict(zip(names, keys))
+
+
+def make_pretrain_loss_fn(model, main_context: Optional[int] = None,
+                          right_context: Optional[int] = None):
+    """loss_fn for ``make_train_step`` — batch: {source, mask_positions,
+    [padding_mask]}."""
+
+    def loss_fn(params, batch, rng, step):
+        out = model.apply(
+            {"params": params}, batch["source"], batch["mask_positions"],
+            step, padding_mask=batch.get("padding_mask"),
+            main_context=main_context, right_context=right_context,
+            train=True, rngs=_rng_dict(rng, PRETRAIN_RNG_NAMES))
+        loss, n, logs = wav2vec_loss(out)
+        scalars = {k: jnp.asarray(v, jnp.float32) for k, v in logs.items()
+                   if v is not None and k != "sample_size"}
+        return loss, (n, scalars)
+
+    return loss_fn
+
+
+def make_caat_loss_fn(model, caat_cfg, main_context=None, right_context=None,
+                      downsample: Optional[int] = None):
+    """loss_fn for CAAT fine-tuning — batch: {source, targets,
+    [padding_mask]}; prev tokens are built in-graph ([bos; targets])."""
+
+    def loss_fn(params, batch, rng, step):
+        tgt = batch["targets"]
+        B = tgt.shape[0]
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), caat_cfg.bos, dtype=tgt.dtype), tgt], axis=1)
+        joint_h, glens = model.apply(
+            {"params": params}, batch["source"], prev,
+            padding_mask=batch.get("padding_mask"),
+            main_context=main_context, right_context=right_context,
+            downsample=downsample, train=True,
+            rngs=_rng_dict(rng, CAAT_RNG_NAMES))
+        tgt_lens = jnp.sum(tgt != caat_cfg.pad, axis=1).astype(jnp.int32)
+        loss, logs = caat_loss(joint_h, params["embed_tokens"], tgt, glens,
+                               tgt_lens, caat_cfg)
+        n = logs.pop("sample_size")
+        scalars = {k: jnp.asarray(v, jnp.float32) for k, v in logs.items()}
+        return loss, (n, scalars)
+
+    return loss_fn
+
+
+def sample_context_bucket(rng: random.Random,
+                          buckets: Sequence[Tuple[int, int]]):
+    """Host-side (mc, rc) bucket draw approximating the reference's
+    ``randint(4,16)*2 / randint(2,8)*2, rc <= mc/2`` distribution."""
+    return buckets[rng.randrange(len(buckets))]
+
+
+# default bucket set covering the sampled range with few compilations
+DEFAULT_CONTEXT_BUCKETS = (
+    (8, 4), (12, 6), (16, 8), (20, 8), (24, 12), (28, 12), (32, 16),
+)
