@@ -20,10 +20,9 @@ import jax  # noqa: E402
 # the config API is the reliable way to pin tests to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compilation cache: first full run is slow, later runs are fast
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do not enable the persistent compilation cache here — the
+# environment's remote-compile service writes entries built for a different
+# host CPU (cpu_aot_loader machine-feature mismatch -> potential SIGILL).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,146 @@
+"""End-to-end CLI smoke tests on synthetic data (fake-data + real-engine,
+the reference's test_binaries.py pattern)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from wav2vec_s_tpu.data.audio import write_wav
+
+
+def _make_audio_dir(tmp_path, n=6, seconds=0.4):
+    rng = np.random.default_rng(0)
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    rows = []
+    for i in range(n):
+        ns = int(16000 * seconds) + 320 * i
+        wav = rng.standard_normal(ns).astype(np.float32) * 0.1
+        write_wav(audio / f"utt{i}.wav", wav)
+        rows.append((f"utt{i}.wav", ns))
+    return audio, rows
+
+
+def _pretrain_yaml(tmp_path, manifest):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+run:
+  task: pretrain
+  num_devices: 2
+  save_dir: {tmp_path}/ckpt
+  max_update: 3
+  log_interval: 1
+  save_interval_updates: 3
+data:
+  train_manifest: {manifest}
+  max_tokens: 40000
+  max_sample_size: 12800
+  min_sample_size: 3200
+optim:
+  lr: 0.001
+  warmup_updates: 1
+  total_updates: 10
+context:
+  context_type: constant
+  main_context: 4
+  right_context: 2
+model:
+  conv_feature_layers: [[32, 10, 5], [32, 3, 2], [32, 2, 2]]
+  encoder_layers: 2
+  encoder_embed_dim: 32
+  encoder_ffn_embed_dim: 64
+  encoder_attention_heads: 4
+  final_dim: 16
+  latent_vars: 8
+  n_negatives: 4
+  encoder_layerdrop: 0.0
+""")
+    return cfg
+
+
+def test_pretrain_cli_end_to_end(tmp_path, capsys):
+    audio, rows = _make_audio_dir(tmp_path)
+    manifest = tmp_path / "train.tsv"
+    manifest.write_text(str(audio) + "\n" +
+                        "\n".join(f"{p}\t{n}" for p, n in rows) + "\n")
+    from wav2vec_s_tpu.train import cli
+    cli.main(["--config", str(_pretrain_yaml(tmp_path, manifest))])
+    out = capsys.readouterr().out
+    recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert recs, f"no progress records in: {out[:500]}"
+    assert all(np.isfinite(r["loss_total"]) for r in recs)
+    # checkpoint written and restorable
+    ckpts = list((tmp_path / "ckpt").glob("step_*"))
+    assert ckpts, "no checkpoint written"
+
+
+def test_caat_cli_end_to_end(tmp_path, capsys):
+    audio, rows = _make_audio_dir(tmp_path, n=4)
+    tsv = tmp_path / "train_st.tsv"
+    header = "id\taudio\tn_frames\ttgt_text\tsrc_text"
+    lines = [header]
+    texts = ["guten tag welt", "hallo du", "wie geht es dir", "sehr gut"]
+    for (p, n), t in zip(rows, texts):
+        lines.append(f"utt_{p}\t{audio}/{p}\t{n}\t{t}\thello world")
+    tsv.write_text("\n".join(lines) + "\n")
+
+    # vocab from the corpus words
+    vocab = tmp_path / "dict.txt"
+    words = sorted({w for t in texts for w in t.split()} | {"hello", "world"})
+    vocab.write_text("\n".join(f"{w} 1" for w in words) + "\n")
+
+    cfg = tmp_path / "caat.yaml"
+    cfg.write_text(f"""
+run:
+  task: caat
+  num_devices: 2
+  save_dir: {tmp_path}/ckpt_caat
+  max_update: 2
+  log_interval: 1
+  save_interval_updates: 2
+data:
+  train_manifest: {tsv}
+  vocab: {vocab}
+  tokenizer: word
+  max_tokens: 40000
+  max_sample_size: 12800
+  task_type: st
+optim:
+  lr: 0.001
+  lr_scheduler: inverse_sqrt
+  warmup_updates: 2
+  clip_norm: 2.0
+context:
+  main_context: 4
+  right_context: 2
+model:
+  conv_feature_layers: [[32, 10, 5], [32, 3, 2], [32, 2, 2]]
+  encoder_layers: 2
+  encoder_embed_dim: 24
+  encoder_ffn_embed_dim: 48
+  encoder_attention_heads: 4
+  final_dim: 16
+  encoder_layerdrop: 0.0
+  feature_grad_mult: 1.0
+caat:
+  decoder_layers: 2
+  decoder_embed_dim: 24
+  decoder_ffn_embed_dim: 48
+  decoder_attention_heads: 4
+  jointer_layers: 2
+  jointer_embed_dim: 24
+  jointer_ffn_embed_dim: 48
+  jointer_attention_heads: 4
+  transducer_downsample: 8
+  tokens_per_step: 500
+  dropout: 0.1
+""")
+    from wav2vec_s_tpu.train import cli
+    cli.main(["--config", str(cfg)])
+    out = capsys.readouterr().out
+    recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert recs
+    assert all(np.isfinite(r["loss_total"]) for r in recs)
+    assert list((tmp_path / "ckpt_caat").glob("step_*"))

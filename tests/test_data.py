@@ -1,0 +1,130 @@
+"""Data layer tests: audio IO, manifests, dictionary, batching."""
+
+import numpy as np
+import pytest
+
+from wav2vec_s_tpu.data import (
+    read_audio, write_wav, Dictionary, read_audio_manifest,
+    read_s2t_manifest, batch_by_size, EpochBatchIterator)
+from wav2vec_s_tpu.data.audio import logmel_fbank, instance_normalize
+from wav2vec_s_tpu.data.batching import length_buckets, bucket_for
+from wav2vec_s_tpu.data.tokenizer import (
+    WordTokenizer, CharTokenizer, is_word_end)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    wav = (rng.standard_normal(1600) * 0.3).astype(np.float32)
+    write_wav(tmp_path / "a.wav", wav)
+    back = read_audio(tmp_path / "a.wav")
+    np.testing.assert_allclose(back, np.clip(wav, -1, 1), atol=6e-5)
+
+
+def test_read_audio_rate_check(tmp_path, rng):
+    wav = rng.standard_normal(800).astype(np.float32)
+    write_wav(tmp_path / "a.wav", wav, rate=8000)
+    with pytest.raises(ValueError):
+        read_audio(tmp_path / "a.wav", expected_rate=16000)
+
+
+def test_npy_audio(tmp_path, rng):
+    wav = rng.standard_normal(100).astype(np.float32)
+    np.save(tmp_path / "a.npy", wav)
+    np.testing.assert_array_equal(read_audio(tmp_path / "a.npy"), wav)
+
+
+def test_dictionary_fairseq_layout(tmp_path):
+    d = Dictionary()
+    assert (d.bos(), d.pad(), d.eos(), d.unk()) == (0, 1, 2, 3)
+    d.add_symbol("hello", 5)
+    d.add_symbol("world", 3)
+    assert d.index("hello") == 4
+    assert d.index("zzz") == d.unk()
+    p = tmp_path / "dict.txt"
+    d.save(p)
+    d2 = Dictionary.load(p)
+    assert d2.index("world") == d.index("world")
+    assert d2.encode(["hello", "world"]) == [4, 5, d.eos()]
+
+
+def test_audio_manifest(tmp_path):
+    m = tmp_path / "train.tsv"
+    m.write_text("/data/audio\na.wav\t48000\nb.wav\t16000\nc.wav\t100\n")
+    man = read_audio_manifest(m, min_sample_size=16000)
+    assert len(man) == 2  # c.wav filtered
+    assert str(man.full_path(0)).endswith("audio/a.wav")
+
+
+def test_s2t_manifest(tmp_path):
+    m = tmp_path / "st.tsv"
+    m.write_text("id\taudio\tn_frames\ttgt_text\tsrc_text\n"
+                 "u1\ta.wav\t100\thallo welt\thello world\n"
+                 "u2\tb.wav\t50\tdu\tyou\n")
+    man = read_s2t_manifest(m, audio_root="/root/audio")
+    assert man.audio_paths[0] == "/root/audio/a.wav"
+    assert man.tgt_texts[1] == "du"
+    assert man.n_frames == [100, 50]
+
+
+def test_batch_by_size_respects_max_tokens():
+    sizes = np.array([10, 20, 30, 40, 50, 60])
+    batches = batch_by_size(sizes, max_tokens=100)
+    for b in batches:
+        padded = sizes[b].max()
+        assert len(b) * padded <= 100 or len(b) == 1
+    assert sorted(np.concatenate(batches).tolist()) == list(range(6))
+
+
+def test_buckets_bound_shapes():
+    buckets = length_buckets(250000, min_len=32000, factor=1.5, multiple=640)
+    assert all(b % 640 == 0 for b in buckets)
+    assert bucket_for(33000, buckets) >= 33000
+    sizes = np.random.default_rng(0).integers(32000, 250000, 100)
+    batches = batch_by_size(sizes, 500000, buckets=buckets)
+    shapes = {bucket_for(sizes[b].max(), buckets) for b in batches}
+    assert len(shapes) <= len(buckets)
+
+
+def test_epoch_iterator_shard_and_resume():
+    batches = [np.array([i]) for i in range(10)]
+    it = EpochBatchIterator(batches, seed=7, shard_id=0, num_shards=2)
+    first = list(it.next_epoch_itr())
+    assert len(first) == 5
+    # resume mid-epoch
+    it2 = EpochBatchIterator(batches, seed=7, shard_id=0, num_shards=2)
+    g = it2.next_epoch_itr()
+    next(g)
+    state = it2.state_dict()
+    it3 = EpochBatchIterator(batches, seed=7, shard_id=0, num_shards=2)
+    it3.load_state_dict(state)
+    rest = list(it3.next_epoch_itr())
+    assert [b.tolist() for b in rest] == [b.tolist() for b in first[1:]]
+    # different shards are disjoint
+    itb = EpochBatchIterator(batches, seed=7, shard_id=1, num_shards=2)
+    other = list(itb.next_epoch_itr())
+    assert not ({int(b[0]) for b in first} & {int(b[0]) for b in other})
+
+
+def test_tokenizers():
+    w = WordTokenizer()
+    assert w.encode("hello world") == ["hello", "world"]
+    assert w.decode(["a", "b"]) == "a b"
+    c = CharTokenizer()
+    pieces = c.encode("ab cd")
+    assert pieces == ["▁", "a", "b", "▁", "c", "d"]
+    assert c.decode(pieces) == "ab cd"
+    assert is_word_end(pieces, "▁next")
+    assert not is_word_end(pieces, "suffix")
+
+
+def test_fbank_shape(rng):
+    wav = rng.standard_normal(16000).astype(np.float32)
+    f = logmel_fbank(wav)
+    assert f.shape[1] == 80
+    assert abs(f.shape[0] - 98) <= 2  # ~100 frames/sec
+    assert np.isfinite(f).all()
+
+
+def test_instance_normalize(rng):
+    wav = rng.standard_normal(4000).astype(np.float32) * 5 + 2
+    n = instance_normalize(wav)
+    assert abs(n.mean()) < 1e-3 and abs(n.std() - 1) < 1e-2

@@ -1,0 +1,132 @@
+"""Audio IO without heavyweight deps.
+
+Re-provides the reference's waveform loading paths
+(fairseq/fairseq/data/audio/raw_audio_dataset.py:54-71 via soundfile;
+rain/data/st_raw_audio_triple_dataset.py:155-186 zip/flac/npy resolution):
+
+- 16-bit PCM WAV via the stdlib ``wave`` module,
+- ``.npy`` arrays,
+- anything else through ``soundfile`` when installed (flac etc.),
+- raw int16 little-endian with explicit ``.raw`` extension.
+
+All readers return float32 in [-1, 1] at the file's native rate.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+from pathlib import Path
+
+import numpy as np
+
+
+def _read_wav(path) -> tuple[np.ndarray, int]:
+    with wave.open(str(path), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width} in {path}")
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
+    return data, rate
+
+
+def read_audio(path, expected_rate: int | None = 16000) -> np.ndarray:
+    """Load a waveform as float32 mono; checks the sample rate like the
+    reference (raw_audio_dataset.py:236-241)."""
+    p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix == ".wav":
+        data, rate = _read_wav(p)
+    elif suffix == ".npy":
+        data = np.load(p).astype(np.float32)
+        rate = expected_rate or 16000
+    elif suffix == ".raw":
+        data = np.fromfile(p, dtype="<i2").astype(np.float32) / 32768.0
+        rate = expected_rate or 16000
+    else:
+        try:
+            import soundfile as sf
+        except ImportError as e:
+            raise ImportError(
+                f"reading {suffix} needs the optional 'soundfile' package"
+            ) from e
+        data, rate = sf.read(str(p), dtype="float32")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+    if expected_rate is not None and rate != expected_rate:
+        raise ValueError(f"{path}: sample rate {rate} != {expected_rate}")
+    return np.ascontiguousarray(data, dtype=np.float32)
+
+
+def write_wav(path, data: np.ndarray, rate: int = 16000) -> None:
+    """Write float32 [-1, 1] mono as 16-bit PCM (test fixtures, demos)."""
+    pcm = np.clip(data, -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+
+
+def instance_normalize(wav: np.ndarray) -> np.ndarray:
+    """Per-utterance layer-norm of the waveform (``normalize: true`` task
+    option for large models, raw_audio_dataset.py:66-70)."""
+    m = wav.mean()
+    v = wav.var()
+    return ((wav - m) / np.sqrt(v + 1e-5)).astype(np.float32)
+
+
+def logmel_fbank(wav: np.ndarray, rate: int = 16000, n_mels: int = 80,
+                 frame_ms: float = 25.0, shift_ms: float = 10.0,
+                 preemph: float = 0.97) -> np.ndarray:
+    """Kaldi-style log-mel filterbank (the fbank CAAT twin's features,
+    rain/data/transforms/audio_encoder.py:11-17 via torchaudio).
+
+    Pure numpy: povey-window-free variant with hann window; close enough for
+    training the fbank model family from scratch (we do not load fbank
+    reference checkpoints).
+    """
+    frame = int(rate * frame_ms / 1000)
+    shift = int(rate * shift_ms / 1000)
+    n_fft = 1
+    while n_fft < frame:
+        n_fft *= 2
+    if len(wav) < frame:
+        wav = np.pad(wav, (0, frame - len(wav)))
+    wav = np.append(wav[0], wav[1:] - preemph * wav[:-1])
+    n_frames = 1 + (len(wav) - frame) // shift
+    idx = np.arange(frame)[None, :] + shift * np.arange(n_frames)[:, None]
+    frames = wav[idx] * np.hanning(frame)[None, :]
+    spec = np.abs(np.fft.rfft(frames, n_fft)) ** 2
+
+    # mel filter bank
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    mels = np.linspace(hz2mel(20), hz2mel(rate / 2), n_mels + 2)
+    freqs = mel2hz(mels)
+    bins = np.floor((n_fft + 1) * freqs / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        lo, c, hi = bins[i], bins[i + 1], bins[i + 2]
+        if c > lo:
+            fb[i, lo:c] = (np.arange(lo, c) - lo) / (c - lo)
+        if hi > c:
+            fb[i, c:hi] = (hi - np.arange(c, hi)) / (hi - c)
+    feat = np.log(np.maximum(spec @ fb.T, 1e-10))
+    return feat.astype(np.float32)

@@ -1,0 +1,116 @@
+"""Batch assembly for the two training recipes (host-side, numpy).
+
+Twins of the reference collaters with TPU-static shapes:
+
+- ``PretrainBatcher`` ~ ``RawAudioDataset.collater``
+  (raw_audio_dataset.py:116-226): random-crop every utterance to the batch's
+  *bucket* length (the reference crops to the batch min; a bucket keeps the
+  compiled-shape count bounded), plus host-side span-mask precompute with an
+  equal mask count per row (the strategy the reference uses for its TPU path,
+  audio_pretraining.py:183-239).
+- ``CaatBatcher`` ~ ``SpeechToTextDataset.collater``
+  (st_raw_audio_triple_dataset.py:298-387): pad waveforms to the audio
+  bucket, tokenize + pad targets to the text bucket; emits
+  source/padding_mask/targets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from wav2vec_s_tpu.data.audio import read_audio, instance_normalize
+from wav2vec_s_tpu.data.batching import bucket_for, pad_to
+from wav2vec_s_tpu.data.dictionary import Dictionary
+from wav2vec_s_tpu.data.manifests import AudioManifest, S2TManifest
+from wav2vec_s_tpu.data.tokenizer import Tokenizer
+from wav2vec_s_tpu.models.feature_extractor import conv_output_length
+from wav2vec_s_tpu.utils.masking import (
+    compute_span_mask_np, expected_mask_count)
+
+
+@dataclasses.dataclass
+class PretrainBatcher:
+    manifest: AudioManifest
+    buckets: Sequence[int]
+    mask_prob: float = 0.65
+    mask_length: int = 10
+    normalize: bool = False
+    seed: int = 1
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+
+    def load(self, idx: int) -> np.ndarray:
+        wav = read_audio(self.manifest.full_path(idx))
+        if self.normalize:
+            wav = instance_normalize(wav)
+        return wav
+
+    def collate(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        wavs = [self.load(i) for i in indices]
+        shortest = min(len(w) for w in wavs)
+        # crop to the bucket at/below the batch's shortest (no padding in
+        # pre-training — crop-only, like pad_audio=False in the reference)
+        usable = [b for b in self.buckets if b <= shortest]
+        T = usable[-1] if usable else self.buckets[0]
+        out = np.zeros((len(wavs), T), np.float32)
+        for r, w in enumerate(wavs):
+            if len(w) > T:
+                start = self._rng.integers(0, len(w) - T + 1)
+                out[r] = w[start:start + T]
+            else:
+                out[r, :len(w)] = w
+
+        frames = conv_output_length(T)
+        M = expected_mask_count(frames, self.mask_prob, self.mask_length)
+        mask = compute_span_mask_np(
+            (len(wavs), frames), None, self.mask_prob, self.mask_length,
+            self._rng, exact_count=M)
+        positions = np.zeros((len(wavs), M), np.int32)
+        for r in range(len(wavs)):
+            positions[r] = np.flatnonzero(mask[r])[:M]
+        return {"source": out, "mask_positions": positions}
+
+
+@dataclasses.dataclass
+class CaatBatcher:
+    manifest: S2TManifest
+    tgt_dict: Dictionary
+    tokenizer: Tokenizer
+    audio_buckets: Sequence[int]
+    target_buckets: Sequence[int] = (16, 32, 64, 128)
+    task_type: str = "st"              # "st" -> tgt_text, "asr" -> src_text
+    normalize: bool = False
+
+    def encode_target(self, idx: int) -> List[int]:
+        text = (self.manifest.tgt_texts[idx] if self.task_type != "asr"
+                else (self.manifest.src_texts[idx]
+                      or self.manifest.tgt_texts[idx]))
+        pieces = self.tokenizer.encode(text)
+        return self.tgt_dict.encode(pieces, append_eos=True)
+
+    def collate(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        wavs, targets = [], []
+        for i in indices:
+            wav = read_audio(self.manifest.audio_paths[i])
+            if self.normalize:
+                wav = instance_normalize(wav)
+            wavs.append(wav)
+            targets.append(np.asarray(self.encode_target(i), np.int64))
+
+        S = bucket_for(max(len(w) for w in wavs), self.audio_buckets)
+        U = bucket_for(max(len(t) for t in targets), self.target_buckets)
+        B = len(wavs)
+        src = np.zeros((B, S), np.float32)
+        pad_mask = np.ones((B, S), bool)
+        tgt = np.full((B, U), self.tgt_dict.pad(), np.int32)
+        for r, (w, t) in enumerate(zip(wavs, targets)):
+            w = w[:S]
+            src[r, :len(w)] = w
+            pad_mask[r, :len(w)] = False
+            t = t[:U]
+            tgt[r, :len(t)] = t
+        return {"source": src, "padding_mask": pad_mask, "targets": tgt}

@@ -1,0 +1,137 @@
+"""Layered typed config: dataclasses + yaml + dot-overrides.
+
+Replaces the reference's Hydra/OmegaConf + argparse registry maze
+(fairseq/fairseq/dataclass/configs.py:26-916, hydra_train.py:25-95) with a
+small, explicit system: a nested dataclass tree, a yaml file to fill it, and
+``section.key=value`` command-line overrides — same capabilities (typed
+fields, composition, overrides) without the plugin machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+from wav2vec_s_tpu.train.optim import OptimConfig
+
+
+@dataclasses.dataclass
+class DataConfig:
+    train_manifest: str = ""
+    valid_manifest: str = ""
+    audio_root: str = ""
+    vocab: str = ""                    # fairseq-format dict.txt
+    tokenizer: str = "word"            # word | char | spm
+    spm_model: str = ""
+    bpe_dropout: float = 0.0
+    max_tokens: int = 1_400_000        # audio samples per batch
+    max_sample_size: int = 250_000
+    min_sample_size: int = 32_000
+    normalize: bool = False
+    num_buckets: int = 10
+    seed: int = 1
+    task_type: str = "st"              # CAAT: st | asr
+
+
+@dataclasses.dataclass
+class RunConfig:
+    task: str = "pretrain"             # pretrain | caat
+    save_dir: str = "checkpoints"
+    max_update: int = 400_000
+    update_freq: int = 1
+    log_interval: int = 100
+    save_interval_updates: int = 5000
+    validate_interval_updates: int = 5000
+    keep_last: int = 3
+    keep_best: int = 0
+    patience: int = 0                  # early stop on stagnant valid loss
+    seed: int = 1
+    num_devices: int = 0               # 0 = all visible devices (data axis)
+    tensorboard_dir: str = ""
+    # warm starts (checkpoint_utils analogues)
+    load_pretrained_model_from: str = ""   # torch .pt (wav2vec2 warm start)
+    w2v2_model_path: str = ""              # torch .pt for CAAT encoder
+    restore_from: str = ""                 # our own checkpoint dir
+
+
+@dataclasses.dataclass
+class ContextConfig:
+    context_type: str = "sampling"     # constant | sampling
+    main_context: int = 16
+    right_context: int = 8
+    # bucket grid used when sampling (one compiled step per bucket)
+    buckets: Tuple[Tuple[int, int], ...] = (
+        (8, 4), (12, 6), (16, 8), (20, 8), (24, 12), (28, 12), (32, 16))
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    run: RunConfig = dataclasses.field(default_factory=RunConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    context: ContextConfig = dataclasses.field(default_factory=ContextConfig)
+    model: dict = dataclasses.field(default_factory=dict)   # Wav2Vec2Config kw
+    caat: dict = dataclasses.field(default_factory=dict)    # CaatConfig kw
+
+
+def _coerce(value: str, current: Any):
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        import ast
+        return tuple(ast.literal_eval(value))
+    return value
+
+
+def apply_overrides(cfg: TrainConfig, overrides) -> TrainConfig:
+    """``section.key=value`` (or ``model.key=value`` into the dict fields)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override '{ov}' is not key=value")
+        key, value = ov.split("=", 1)
+        parts = key.split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p) if dataclasses.is_dataclass(obj) else obj[p]
+        last = parts[-1]
+        if dataclasses.is_dataclass(obj):
+            cur = getattr(obj, last)
+            object.__setattr__(obj, last, _coerce(value, cur)) \
+                if getattr(type(obj), "__dataclass_params__").frozen \
+                else setattr(obj, last, _coerce(value, cur))
+        else:
+            import ast
+            try:
+                obj[last] = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                obj[last] = value
+    return cfg
+
+
+def load_config(yaml_path: Optional[str] = None, overrides=()) -> TrainConfig:
+    cfg = TrainConfig()
+    if yaml_path:
+        import yaml
+
+        raw = yaml.safe_load(Path(yaml_path).read_text()) or {}
+        for section, values in raw.items():
+            cur = getattr(cfg, section)
+            if dataclasses.is_dataclass(cur) and isinstance(values, dict):
+                known = {f.name for f in dataclasses.fields(cur)}
+                fixed = {}
+                for k, v in values.items():
+                    if k not in known:
+                        raise ValueError(f"unknown config key {section}.{k}")
+                    fixed[k] = tuple(map(tuple, v)) if (
+                        isinstance(v, list) and v and isinstance(v[0], list)
+                    ) else (tuple(v) if isinstance(
+                        getattr(cur, k), tuple) and isinstance(v, list) else v)
+                setattr(cfg, section, dataclasses.replace(cur, **fixed))
+            else:
+                setattr(cfg, section, values)
+    return apply_overrides(cfg, overrides)

@@ -34,6 +34,20 @@ def num_mask_spans(seq_len: int, mask_prob: float, mask_length: int,
     return max(min_masks, all_num_mask)
 
 
+def expected_mask_count(seq_len: int, mask_prob: float = 0.65,
+                        mask_length: int = 10, min_masks: int = 2) -> int:
+    """Deterministic per-length mask count for shape-stable batches.
+
+    Overlap between sampled spans makes the reference's realized count vary
+    around ~0.8 * n_spans * L; we pin it to a fixed fraction so every batch
+    of a given length bucket has the same gather shape (one compile per
+    bucket instead of one per batch).
+    """
+    n_spans = num_mask_spans(seq_len, mask_prob, mask_length, min_masks)
+    approx = int(round(n_spans * mask_length * 0.8))
+    return max(mask_length, min(approx, seq_len - 1))
+
+
 def compute_span_mask_np(
     shape: tuple[int, int],
     padding_mask: np.ndarray | None,
@@ -42,12 +56,15 @@ def compute_span_mask_np(
     rng: np.random.Generator,
     min_masks: int = 2,
     require_same_masks: bool = True,
+    exact_count: int | None = None,
 ) -> np.ndarray:
     """Sample a [B, T] boolean span mask (True = masked).
 
     Static span selection with overlap allowed; when ``require_same_masks``
     every row ends up with the same number of masked frames (the minimum over
-    the batch), which the model relies on for static-shaped gathers.
+    the batch), which the model relies on for static-shaped gathers.  With
+    ``exact_count`` every row is trimmed/topped-up to exactly that many
+    masked frames (shape-stable across batches of the same length).
     """
     B, T = shape
     mask = np.zeros((B, T), dtype=bool)
@@ -62,6 +79,21 @@ def compute_span_mask_np(
         idx = (starts[:, None] + np.arange(mask_length)[None, :]).reshape(-1)
         idx = idx[idx < sz]
         mask[b, idx] = True
+    if exact_count is not None:
+        for b in range(B):
+            sz = T
+            if padding_mask is not None:
+                sz = int(T - padding_mask[b].sum())
+            want = min(exact_count, max(sz - 1, 1))
+            on = np.flatnonzero(mask[b])
+            if len(on) > want:
+                off = rng.choice(on, size=len(on) - want, replace=False)
+                mask[b, off] = False
+            elif len(on) < want:
+                cand = np.flatnonzero(~mask[b][:sz])
+                add = rng.choice(cand, size=want - len(on), replace=False)
+                mask[b, add] = True
+        return mask
     if require_same_masks:
         n_min = mask.sum(axis=1).min()
         for b in range(B):
