@@ -90,6 +90,31 @@ class W2V2CaatModel(nn.Module):
             glens = jnp.ones(enc.shape[0], jnp.int32)
         return joint_h, glens
 
+    def decode_step(self, prev_tokens, token_lens, enc, enc_pad):
+        """Streaming decode scoring: log-probs of the next symbol.
+
+        The reference threads per-layer KV caches with rollback/regather
+        (TransducerMHADecoder.forward + rollback_steps,
+        attention_transducer.py:886-922); here the prefix LM is recomputed at
+        a static padded length — recompute-over-cache is the TPU-friendly
+        trade (no mutable state, one compiled shape per bucket).
+
+        Args:
+          prev_tokens: [K, U_pad] right-padded prefixes (bos first).
+          token_lens:  [K] true prefix lengths.
+          enc:         [K, S, D] encoder states revealed so far.
+          enc_pad:     [K, S] True where the frame is not yet visible.
+        Returns log-probs [K, V].
+        """
+        h_lm = self.decoder_lm(prev_tokens, train=False,
+                               embed_matrix=self.embed_tokens)
+        k = jnp.arange(h_lm.shape[0])
+        h_last = h_lm[k, token_lens - 1][:, None]          # [K, 1, D]
+        joint = self.jointer(h_last, enc, enc_pad, downsample=-1,
+                             deterministic=True)           # [K, 1, 1, D]
+        logits = self.output_logits(joint)[:, 0, 0]
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
 
 def label_smoothed_ce(lprobs, targets, epsilon, ignore_index):
     """Summed label-smoothed NLL (fairseq label_smoothed_cross_entropy.py

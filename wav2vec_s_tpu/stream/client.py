@@ -1,0 +1,80 @@
+"""SimulEval client + agent policy loop over HTTP.
+
+Twin of simuleval/simuleval/online/client.py:14-79 and the decode loop in
+cli.py:81-150: pull source segments from the server, drive the agent's
+READ/WRITE policy, push hypotheses back, fetch corpus scores.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import requests
+
+from wav2vec_s_tpu.stream.server import DEFAULT_EOS
+
+
+class Client:
+    def __init__(self, hostname: str = "localhost", port: int = 12321,
+                 timeout: int = 100):
+        self.base_url = f"http://{hostname}:{port}"
+        self.timeout = timeout
+
+    def reset_scorer(self):
+        requests.post(self.base_url, timeout=self.timeout)
+
+    def corpus_info(self):
+        return requests.get(self.base_url, timeout=self.timeout).json()
+
+    def get_source(self, instance_id: int, segment_size: int) -> dict:
+        return requests.get(
+            f"{self.base_url}/src",
+            params={"instance_id": instance_id,
+                    "segment_size": segment_size},
+            timeout=self.timeout).json()
+
+    def send_hypo(self, instance_id: int, hypo: str):
+        requests.put(f"{self.base_url}/hypo",
+                     params={"instance_id": instance_id},
+                     data=hypo.encode("utf-8"), timeout=self.timeout)
+
+    def get_scores(self, instance_id: Optional[int] = None):
+        params = {}
+        if instance_id is not None:
+            params["instance_id"] = instance_id
+        return requests.get(f"{self.base_url}/result", params=params,
+                            timeout=self.timeout).json()
+
+
+def decode_instance(client: Client, agent, instance_id: int,
+                    segment_size: int = 25):
+    """READ/WRITE loop for one utterance (cli.py:81-123)."""
+    agent.reset()
+    while True:
+        seg = client.get_source(instance_id, segment_size)
+        finished = bool(seg["finished"])
+        if seg["segment"] == DEFAULT_EOS:
+            samples = np.zeros(0, np.float32)
+        else:
+            samples = np.asarray(seg["segment"], np.float32) / 32768.0
+        agent.push(samples, is_end=finished)
+        out = []
+        while True:
+            w = agent.pop_word()
+            if w is None:
+                break
+            out.append(w)
+        if out:
+            client.send_hypo(instance_id, " ".join(out))
+        if finished:
+            client.send_hypo(instance_id, DEFAULT_EOS)
+            break
+
+
+def evaluate_corpus(client: Client, agent_factory, segment_size: int = 25):
+    client.reset_scorer()
+    n = client.corpus_info()["num_sentences"]
+    for i in range(n):
+        decode_instance(client, agent_factory(), i, segment_size)
+    return client.get_scores()
