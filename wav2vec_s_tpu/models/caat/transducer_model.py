@@ -31,6 +31,7 @@ from wav2vec_s_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
 from wav2vec_s_tpu.ops.transducer import (
     delay_transducer_loss, delay_cost_zero, delay_cost_diagonal,
     delay_cost_diag_positive)
+from wav2vec_s_tpu.ops.transducer.analytic import delay_transducer_loss_vjp
 
 DELAY_FUNCS = {
     "zero": delay_cost_zero,
@@ -161,9 +162,10 @@ def caat_loss(joint_h, embed_or_proj, targets, group_lens, tgt_lens, cfg: CaatCo
     def chunk_losses(hc, tgc, glc, tlc, vc):
         logits = jnp.einsum("bgud,vd->bguv", hc.astype(jnp.float32), W)
         dv = delay_fn(logits.shape[:3], glc, tlc)
-        total, lp, ld = delay_transducer_loss(
-            logits, tgc, glc, tlc, dv, delay_scale=cfg.delay_scale,
-            blank=cfg.bos)
+        # analytic backward (betas + closed-form grad, like the reference's
+        # fused CUDA kernel) instead of autodiff through the forward scans
+        total, lp, ld = delay_transducer_loss_vjp(
+            logits, tgc, glc, tlc, dv, cfg.delay_scale, cfg.bos)
         # label-smoothed CE on the last valid source group (full context)
         bi = jnp.arange(hc.shape[0])
         last_h = hc[bi, glc - 1][:, :-1]                      # [b, U, D]
