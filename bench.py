@@ -20,10 +20,11 @@ import jax.numpy as jnp
 BASELINE_AUDIO_SEC_PER_SEC = 500.0  # north-star target (BASELINE.md)
 
 
-def main():
+def main(attention_impl: str = "flash"):
     from wav2vec_s_tpu.models import Wav2Vec2Model, wav2vec_s_base_config
 
-    cfg = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0)
+    cfg = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0,
+                                attention_impl=attention_impl)
     model = Wav2Vec2Model(cfg, encoder_type="blockwise")
 
     B, seconds = 8, 10.0

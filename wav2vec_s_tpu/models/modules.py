@@ -23,6 +23,17 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from flax import struct
+
+
+class FlashSpec(struct.PyTreeNode):
+    """Marker passed in place of a dense bias: route attention through the
+    block-sparse Pallas kernel (ops/pallas_attention.py)."""
+
+    key_padding_mask: jnp.ndarray            # [B, S] bool, True = pad
+    seq_len: int = struct.field(pytree_node=False)
+    main_context: int = struct.field(pytree_node=False)
+    right_context: int = struct.field(pytree_node=False)
 
 
 def grad_multiply(x: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -136,13 +147,20 @@ class MultiheadSelfAttention(nn.Module):
             B, T, _ = t.shape
             return t.reshape(B, T, H, D // H).transpose(0, 2, 1, 3)
 
-        rng = None
-        if self.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-        out = dot_product_attention(
-            split(q), split(k), split(v), bias,
-            dropout_rate=self.dropout, deterministic=deterministic,
-            dropout_rng=rng)
+        if isinstance(bias, FlashSpec):
+            from wav2vec_s_tpu.ops.pallas_attention import (
+                blockwise_flash_attention)
+            out = blockwise_flash_attention(
+                split(q), split(k), split(v), bias.key_padding_mask,
+                bias.seq_len, bias.main_context, bias.right_context)
+        else:
+            rng = None
+            if self.dropout > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+            out = dot_product_attention(
+                split(q), split(k), split(v), bias,
+                dropout_rate=self.dropout, deterministic=deterministic,
+                dropout_rng=rng)
         B, _, Tq, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)

@@ -85,6 +85,8 @@ class Wav2Vec2Config:
     # misc
     normalize: bool = False                # instance-normalize raw waveform
     required_seq_len_multiple: int = 2
+    attention_impl: str = "dense"          # "dense" | "flash" (Pallas,
+                                           # inference path only)
     dtype: str = "float32"
 
     @property
@@ -241,7 +243,12 @@ class BlockwiseTransformerEncoder(nn.Module):
 
         layout = block_layout(T + pad_len, mc, rc)
         x = append_right_context(x, layout)
-        bias = block_attn_bias(layout, pm, dtype=jnp.float32)
+        if c.attention_impl == "flash" and not train:
+            from wav2vec_s_tpu.models.modules import FlashSpec
+            bias = FlashSpec(extend_padding_mask(pm, layout),
+                             T + pad_len, mc, rc)
+        else:
+            bias = block_attn_bias(layout, pm, dtype=jnp.float32)
         x = EncoderLayers(c, name="layers")(x, bias, train)
         x = strip_right_context(x, layout)
         if c.layer_norm_first:

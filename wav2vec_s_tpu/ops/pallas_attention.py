@@ -1,0 +1,151 @@
+"""Block-sparse flash attention for the wav2vec-S blockwise mask (Pallas).
+
+The encoder's hot loop is self-attention under the (main, right)-context
+block mask (SURVEY hot-loop #1).  Dense XLA attention materializes the
+[B, H, S, S] logits in HBM and wastes ~half the FLOPs on masked tiles; this
+kernel streams K/V tiles with an online softmax (flash attention) and, since
+the block layout is a *compile-time constant*, the per-tile schedule is
+resolved at trace time:
+
+- fully-masked (q-tile, k-tile) pairs are skipped (not even loaded),
+- fully-allowed pairs skip the bias add,
+- partial pairs add a precomputed bias tile.
+
+Padding (bucketed audio lengths) is handled by a runtime per-batch valid-key
+count: columns >= kv_len are masked inside the kernel, so one compiled
+kernel serves every utterance length within a bucket.
+
+Used on the inference/encode path (bench + streaming agent); training keeps
+XLA attention (its fused backward). Grid: (B, H); K/V for one head fit in
+VMEM at streaming sequence lengths (S <= ~2k).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from wav2vec_s_tpu.ops.block_mask import BlockLayout, MASK_VALUE
+
+TILE = 128
+NEG = -1e9
+
+
+def _tile_plan(allowed: np.ndarray, s_pad: int):
+    """Classify each (q_tile, k_tile): 0 skip, 1 full, 2 partial."""
+    S = allowed.shape[0]
+    ext = np.zeros((s_pad, s_pad), dtype=bool)
+    ext[:S, :S] = allowed
+    nt = s_pad // TILE
+    plan = np.zeros((nt, nt), dtype=np.int8)
+    for qi in range(nt):
+        for ki in range(nt):
+            tile = ext[qi * TILE:(qi + 1) * TILE, ki * TILE:(ki + 1) * TILE]
+            if not tile.any():
+                plan[qi, ki] = 0
+            elif tile.all():
+                plan[qi, ki] = 1
+            else:
+                plan[qi, ki] = 2
+    bias = np.where(ext, 0.0, NEG).astype(np.float32)
+    return plan, bias
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, o_ref, *,
+            plan, scale, s_pad):
+    nt = s_pad // TILE
+
+    for qi in range(nt):
+        q = q_ref[qi * TILE:(qi + 1) * TILE, :].astype(jnp.float32) * scale
+        m = jnp.full((TILE, 1), NEG, jnp.float32)
+        l = jnp.zeros((TILE, 1), jnp.float32)
+        acc = jnp.zeros((TILE, q.shape[-1]), jnp.float32)
+        for ki in range(nt):
+            kind = int(plan[qi, ki])
+            if kind == 0:
+                continue
+            k = k_ref[ki * TILE:(ki + 1) * TILE, :].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if kind == 2:
+                s = s + bias_ref[qi * TILE:(qi + 1) * TILE,
+                                 ki * TILE:(ki + 1) * TILE]
+            # additive key-validity row (0 valid / NEG padded), per batch
+            s = s + valid_ref[ki * TILE:(ki + 1) * TILE][None, :]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            v = v_ref[ki * TILE:(ki + 1) * TILE, :].astype(jnp.float32)
+            acc = acc * corr + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m = m_new
+        out = acc / jnp.maximum(l, 1e-20)
+        o_ref[qi * TILE:(qi + 1) * TILE, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "main_context",
+                                              "right_context", "interpret"))
+def blockwise_flash_attention(q, k, v, key_padding_mask, seq_len: int,
+                              main_context: int, right_context: int,
+                              interpret: bool = False):
+    """q, k, v: [B, H, S, Dh] with S = total_len of
+    ``block_layout(seq_len, mc, rc)`` (rc copies appended);
+    key_padding_mask: [B, S] bool, True = padded key (the *extended* mask,
+    rc-copy section included — padding there is not contiguous).
+
+    Returns [B, H, S, Dh]; padded query rows hold garbage (stripped by the
+    caller along with the rc copies).
+    """
+    from wav2vec_s_tpu.ops.block_mask import block_layout
+
+    layout = block_layout(seq_len, main_context, right_context)
+    B, H, S, Dh = q.shape
+    assert S == layout.total_len, (S, layout.total_len)
+    s_pad = -(-S // TILE) * TILE
+    dh_pad = max(-(-Dh // 128) * 128, 128)
+    plan, bias = _tile_plan(layout.allowed, s_pad)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - S), (0, dh_pad - Dh)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    bias_c = jnp.asarray(bias)
+    valid = jnp.pad(jnp.where(key_padding_mask, NEG, 0.0).astype(jnp.float32),
+                    ((0, 0), (0, s_pad - S)), constant_values=NEG)[:, None, :]
+
+    kernel = functools.partial(_kernel, plan=plan, scale=Dh ** -0.5,
+                               s_pad=s_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((None, None, s_pad, dh_pad),
+                         lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, s_pad, dh_pad),
+                         lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, s_pad, dh_pad),
+                         lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, s_pad), lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, s_pad), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),  # key-validity row
+        ],
+        out_specs=pl.BlockSpec((None, None, s_pad, dh_pad),
+                               lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, s_pad, dh_pad), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bias_c, valid)
+    return out[:, :, :S, :Dh]
