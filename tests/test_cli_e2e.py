@@ -33,8 +33,11 @@ run:
   max_update: 3
   log_interval: 1
   save_interval_updates: 3
+  validate_interval_updates: 2
+  patience: 5
 data:
   train_manifest: {manifest}
+  valid_manifest: {manifest}
   max_tokens: 40000
   max_sample_size: 12800
   min_sample_size: 3200
@@ -70,7 +73,9 @@ def test_pretrain_cli_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
     assert recs, f"no progress records in: {out[:500]}"
-    assert all(np.isfinite(r["loss_total"]) for r in recs)
+    assert all(np.isfinite(r["loss_total"]) for r in recs if "loss_total" in r)
+    valid_recs = [r for r in recs if r["tag"] == "valid"]
+    assert valid_recs and np.isfinite(valid_recs[0]["valid_loss"])
     # checkpoint written and restorable
     ckpts = list((tmp_path / "ckpt").glob("step_*"))
     assert ckpts, "no checkpoint written"
@@ -142,5 +147,26 @@ caat:
     out = capsys.readouterr().out
     recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
     assert recs
-    assert all(np.isfinite(r["loss_total"]) for r in recs)
+    assert all(np.isfinite(r["loss_total"]) for r in recs
+               if "loss_total" in r)
     assert list((tmp_path / "ckpt_caat").glob("step_*"))
+
+    # streaming + offline eval CLIs over the trained checkpoint
+    from wav2vec_s_tpu.eval import cli as ecli
+    common = ["--config", str(cfg), "--ckpt-dir", str(tmp_path / "ckpt_caat"),
+              "--manifest", str(tsv), "--metric", "wer",
+              "--intra-beam", "2", "--max-instances", "2",
+              "--decoder-step-read", "4", "--max-len-a", "0.005",
+              "--max-len-b", "-1"]
+    ecli.main(["simul"] + common)
+    simul_out = capsys.readouterr().out.strip().splitlines()[-1]
+    scores = json.loads(simul_out)
+    assert {"WER", "AL", "AP", "DAL"} <= set(scores)
+
+    ecli.main(["generate"] + common)
+    gen_out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(gen_out[-1])["n"] == 2
+
+    ecli.main(["average", "--ckpt-dir", str(tmp_path / "ckpt_caat"),
+               "--k", "1", "--out", str(tmp_path / "avg.npz")])
+    assert (tmp_path / "avg.npz").exists()

@@ -1,0 +1,190 @@
+"""Evaluation CLI.
+
+Subcommands re-providing the reference's eval entry points:
+
+- ``average``  ~ fairseq/scripts/average_checkpoints.py (invoked by
+  wav2vec_s_scripts/eval/eval_wav2vec_s_caat_st.sh:17-21)
+- ``generate`` ~ fairseq-generate / fairseq_cli/generate.py (offline decode
+  + WER/BLEU)
+- ``simul``    ~ the SimulEval harness run (simuleval CLI): streaming decode
+  with AL/AP/DAL + quality, in-process
+
+Usage:
+  python -m wav2vec_s_tpu.eval.cli average --ckpt-dir D --k 5 --out avg.npz
+  python -m wav2vec_s_tpu.eval.cli simul --config train.yaml --ckpt-dir D \
+      --manifest dev.tsv [--step-read-blocks 2] [--metric bleu|wer]
+  python -m wav2vec_s_tpu.eval.cli generate --config train.yaml \
+      --ckpt-dir D --manifest dev.tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+import jax
+
+
+def _load_params(ckpt_dir: str, average_k: int = 0):
+    from wav2vec_s_tpu.checkpoint.orbax_io import (
+        CheckpointManager, average_last_checkpoints)
+
+    mgr = CheckpointManager(ckpt_dir, keep_last=0)
+    if average_k > 1:
+        return average_last_checkpoints(ckpt_dir, average_k)
+    state, _ = mgr.restore()
+    if state is None:
+        raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    return state["params"] if isinstance(state, dict) else state.params
+
+
+def _build_caat(cfg):
+    from wav2vec_s_tpu.data import Dictionary
+    from wav2vec_s_tpu.models import Wav2Vec2Config
+    from wav2vec_s_tpu.models.caat import CaatConfig, W2V2CaatModel
+
+    tgt_dict = Dictionary.load(cfg.data.vocab)
+    model_cfg = Wav2Vec2Config(
+        main_context=cfg.context.main_context,
+        right_context=cfg.context.right_context,
+        context_type="constant", **cfg.model)
+    caat_cfg = CaatConfig(vocab_size=len(tgt_dict), **cfg.caat)
+    return W2V2CaatModel(model_cfg, caat_cfg), tgt_dict, model_cfg, caat_cfg
+
+
+def cmd_average(args):
+    params = _load_params(args.ckpt_dir, args.k)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    np.savez(args.out, **{jax.tree_util.keystr(p): np.asarray(v)
+                          for p, v in flat})
+    print(f"averaged {args.k} checkpoints -> {args.out} "
+          f"({len(flat)} tensors)", file=sys.stderr)
+
+
+def _agent_factory(args, cfg):
+    from wav2vec_s_tpu.data.tokenizer import build_tokenizer
+    from wav2vec_s_tpu.stream.agent import AgentConfig, SpeechTransducerAgent
+    from wav2vec_s_tpu.stream.engine import StreamingEngine
+    from wav2vec_s_tpu.stream.searcher import StreamingTransducerSearcher
+
+    model, tgt_dict, model_cfg, caat_cfg = _build_caat(cfg)
+    params = _load_params(args.ckpt_dir, args.average_k)
+    engine = StreamingEngine(model, params,
+                             main_context=cfg.context.main_context,
+                             right_context=cfg.context.right_context)
+    tokenizer = None
+    if cfg.data.tokenizer != "word":
+        tokenizer = build_tokenizer(cfg.data.tokenizer,
+                                    cfg.data.spm_model or None)
+    searcher = StreamingTransducerSearcher(
+        engine, tgt_dict, tokenizer,
+        len_scale=args.len_scale, eager=args.eager)
+    agent_cfg = AgentConfig(
+        main_context=cfg.context.main_context,
+        right_context=cfg.context.right_context,
+        step_read_blocks=args.step_read_blocks,
+        intra_beam=args.intra_beam, inter_beam=args.inter_beam,
+        decoder_step_read=args.decoder_step_read, eager=args.eager,
+        max_len_a=args.max_len_a, max_len_b=args.max_len_b,
+        len_scale=args.len_scale)
+    return lambda: SpeechTransducerAgent(searcher, agent_cfg)
+
+
+def cmd_simul(args):
+    from wav2vec_s_tpu.data import read_s2t_manifest
+    from wav2vec_s_tpu.data.audio import read_audio
+    from wav2vec_s_tpu.stream.agent import SimulEvaluator
+    from wav2vec_s_tpu.train.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    man = read_s2t_manifest(args.manifest, cfg.data.audio_root)
+    n = min(len(man.ids), args.max_instances or len(man.ids))
+    wavs = [read_audio(man.audio_paths[i]) for i in range(n)]
+    refs = [man.tgt_texts[i] if args.metric == "bleu"
+            else (man.src_texts[i] or man.tgt_texts[i]) for i in range(n)]
+
+    factory = _agent_factory(args, cfg)
+    ev = SimulEvaluator(factory, segment_size_ms=args.segment_size)
+    scores = ev.evaluate(wavs, refs, metric=args.metric)
+    print(json.dumps(scores))
+
+
+def cmd_generate(args):
+    from wav2vec_s_tpu.data import read_s2t_manifest
+    from wav2vec_s_tpu.data.audio import read_audio
+    from wav2vec_s_tpu.eval.bleu import corpus_bleu
+    from wav2vec_s_tpu.eval.generator import transducer_offline_decode
+    from wav2vec_s_tpu.eval.wer import corpus_wer
+    from wav2vec_s_tpu.stream.engine import StreamingEngine
+    from wav2vec_s_tpu.stream.searcher import StreamingTransducerSearcher
+    from wav2vec_s_tpu.train.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    model, tgt_dict, model_cfg, caat_cfg = _build_caat(cfg)
+    params = _load_params(args.ckpt_dir, args.average_k)
+    engine = StreamingEngine(model, params,
+                             main_context=cfg.context.main_context,
+                             right_context=cfg.context.right_context)
+    searcher = StreamingTransducerSearcher(engine, tgt_dict,
+                                           len_scale=args.len_scale)
+    man = read_s2t_manifest(args.manifest, cfg.data.audio_root)
+    n = min(len(man.ids), args.max_instances or len(man.ids))
+    hyps, refs = [], []
+    for i in range(n):
+        wav = read_audio(man.audio_paths[i])
+        hypo = transducer_offline_decode(searcher, wav,
+                                         intra_beam=args.intra_beam)
+        hyps.append(hypo)
+        refs.append(man.tgt_texts[i])
+        print(json.dumps({"id": man.ids[i], "hypo": hypo,
+                          "ref": refs[-1]}))
+    score = (corpus_bleu(hyps, refs) if args.metric == "bleu"
+             else corpus_wer(hyps, refs))
+    print(json.dumps({args.metric.upper(): score, "n": n}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("wav2vec_s_tpu eval")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pa = sub.add_parser("average")
+    pa.add_argument("--ckpt-dir", required=True)
+    pa.add_argument("--k", type=int, default=5)
+    pa.add_argument("--out", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", required=True)
+        sp.add_argument("--ckpt-dir", required=True)
+        sp.add_argument("--manifest", required=True)
+        sp.add_argument("--average-k", type=int, default=0)
+        sp.add_argument("--metric", default="bleu", choices=["bleu", "wer"])
+        sp.add_argument("--intra-beam", type=int, default=5)
+        sp.add_argument("--inter-beam", type=int, default=1)
+        sp.add_argument("--gen-beam", type=float, default=2.0)
+        sp.add_argument("--step-read-blocks", type=int, default=2)
+        sp.add_argument("--decoder-step-read", type=int, default=256)
+        sp.add_argument("--segment-size", type=int, default=25)
+        sp.add_argument("--eager", action="store_true", default=True)
+        sp.add_argument("--len-scale", type=float, default=0.7)
+        sp.add_argument("--max-len-a", type=float, default=0.048)
+        sp.add_argument("--max-len-b", type=float, default=-5.0)
+        sp.add_argument("--max-instances", type=int, default=0)
+        sp.add_argument("--platform", default=None)
+        sp.add_argument("overrides", nargs="*", default=[])
+
+    ps = sub.add_parser("simul")
+    common(ps)
+    pg = sub.add_parser("generate")
+    common(pg)
+
+    args = p.parse_args(argv)
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+    {"average": cmd_average, "simul": cmd_simul,
+     "generate": cmd_generate}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -12,10 +12,18 @@ from typing import List
 
 import numpy as np
 
-try:
-    from wav2vec_s_tpu.native import levenshtein as _native_lev
-except Exception:       # pragma: no cover - native ext optional
-    _native_lev = None
+def _try_native():
+    try:
+        from wav2vec_s_tpu import native
+
+        if native.available():
+            return native.levenshtein
+    except Exception:       # pragma: no cover - native ext optional
+        pass
+    return None
+
+
+_native_lev = _try_native()
 
 
 def levenshtein(a: List[str], b: List[str]) -> int:

@@ -188,12 +188,53 @@ def main(argv=None):
                 donate_argnums=0)
         return steps[(mc, rc)]
 
+    # validation: eval-mode loss over the valid manifest (patience early stop
+    # like fairseq_cli/train.py:209-236)
+    valid_setup = None
+    if cfg.data.valid_manifest:
+        if run.task == "pretrain":
+            vman = read_audio_manifest(cfg.data.valid_manifest,
+                                       cfg.data.min_sample_size)
+            vsizes = np.minimum(np.asarray(vman.sizes),
+                                cfg.data.max_sample_size)
+            vbatcher = dataclasses_replace_manifest(batcher, vman)
+        else:
+            vman = read_s2t_manifest(cfg.data.valid_manifest,
+                                     cfg.data.audio_root)
+            vsizes = np.asarray(vman.n_frames)
+            vbatcher = dataclasses_replace_manifest(batcher, vman)
+        vbatches = [b[:len(b) // n_data * n_data] for b in
+                    batch_by_size(vsizes, cfg.data.max_tokens,
+                                  required_batch_size_multiple=n_data)
+                    if len(b) >= n_data]
+        mc0, rc0 = cfg.context.main_context, cfg.context.right_context
+        vloss_fn = make_loss(mc0, rc0)
+
+        @jax.jit
+        def vstep(params, batch, rng):
+            loss, (n, logs) = vloss_fn(params, batch, rng, 0)
+            return loss, n
+
+        valid_setup = (vbatcher, vbatches, vstep)
+
+    def validate(params):
+        vbatcher, vbatches, vstep = valid_setup
+        tot, n = 0.0, 0.0
+        for bidx in vbatches:
+            vb = shard_batch(mesh, vbatcher.collate(bidx))
+            l, sz = vstep(params, vb, jax.random.PRNGKey(0))
+            tot += float(l)
+            n += float(sz)
+        return tot / max(n, 1.0)
+
     progress = JsonProgress(tensorboard_dir=run.tensorboard_dir or None)
     speed = TimeMeter()
     base_rng = jax.random.PRNGKey(run.seed)
     window = {}
+    best_valid, bad_validations = float("inf"), 0
+    stop = False
 
-    while int(state.step) < run.max_update:
+    while int(state.step) < run.max_update and not stop:
         for batch_idx in itr.next_epoch_itr():
             if int(state.step) >= run.max_update:
                 break
@@ -226,11 +267,27 @@ def main(argv=None):
                 progress.log(stats, step_no)
                 window.clear()
 
+            if valid_setup is not None and run.validate_interval_updates \
+                    and step_no % run.validate_interval_updates == 0:
+                vloss = validate(state.params)
+                progress.log({"valid_loss": vloss}, step_no, tag="valid")
+                if vloss < best_valid - 1e-6:
+                    best_valid, bad_validations = vloss, 0
+                else:
+                    bad_validations += 1
+                    if run.patience and bad_validations >= run.patience:
+                        print(f"early stop: no improvement in "
+                              f"{run.patience} validations", file=sys.stderr)
+                        stop = True
+
             if run.save_interval_updates and \
                     step_no % run.save_interval_updates == 0:
                 mgr.save(step_no, state,
                          extra={"iterator": itr.state_dict()},
-                         metric=float(logs["loss_total"]) / max(n, 1))
+                         metric=(best_valid if valid_setup is not None else
+                                 float(logs["loss_total"]) / max(n, 1)))
+            if stop:
+                break
 
     mgr.save(int(state.step), state, extra={"iterator": itr.state_dict()})
     print(f"training done at step {int(state.step)}", file=sys.stderr)
@@ -239,6 +296,12 @@ def main(argv=None):
 def _microbatch(x: np.ndarray, k: int) -> np.ndarray:
     b = x.shape[0] // k * k
     return x[:b].reshape((k, b // k) + x.shape[1:])
+
+
+def dataclasses_replace_manifest(batcher, manifest):
+    import dataclasses as _dc
+
+    return _dc.replace(batcher, manifest=manifest)
 
 
 if __name__ == "__main__":
