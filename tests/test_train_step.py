@@ -118,3 +118,26 @@ def test_data_parallel_sharded_step():
     for a, b in zip(jax.tree_util.tree_leaves(dev_state.params),
                     jax.tree_util.tree_leaves(host_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tensor_parallel_matches_replicated():
+    """DP(4) x TP(2): megatron-sharded params produce the same update."""
+    from wav2vec_s_tpu.parallel import make_mesh as _mk, shard_params
+    mesh = _mk(n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    model, state, batch, opt = _make_state_and_batch(B=8)
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+    step = jax.jit(make_train_step(loss_fn, opt))
+    rng = jax.random.PRNGKey(0)
+
+    ref_state, ref_logs = step(state, batch, rng)
+
+    tp_params = shard_params(state.params, mesh)
+    tp_state = TrainState.create(tp_params, opt)
+    tp_batch = shard_batch(mesh, batch)
+    new_state, logs = step(tp_state, tp_batch, rng)
+    np.testing.assert_allclose(float(logs["loss_total"]),
+                               float(ref_logs["loss_total"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -1,0 +1,59 @@
+"""Parameter sharding rules: tensor parallelism over the ``model`` axis.
+
+The reference's megatron hooks are vestigial (SURVEY §2.7); here TP is a
+first-class mesh axis.  Rules follow the standard megatron split:
+
+- attention q/k/v and FFN ``fc1`` kernels: output-feature dim over ``model``
+  (column parallel);
+- attention out_proj and FFN ``fc2`` kernels: input-feature dim over
+  ``model`` (row parallel — XLA inserts the psum);
+- everything else (norms, biases, embeddings, conv front-end) replicated.
+
+With these in_shardings on a jitted step, XLA's SPMD partitioner propagates
+activation shardings and places the collectives — no hand-written
+communication.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wav2vec_s_tpu.parallel.mesh import AXES
+
+COL_PARALLEL = re.compile(
+    r"(q_proj|k_proj|v_proj|fc1|weight_proj)\]\[.kernel.\]$")
+ROW_PARALLEL = re.compile(r"(out_proj|fc2)\]\[.kernel.\]$")
+
+
+def _spec_for(path_str: str, ndim: int, model_size: int,
+              shapes_ok) -> P:
+    if model_size <= 1 or ndim != 2:
+        return P()
+    if COL_PARALLEL.search(path_str) and shapes_ok(1):
+        return P(None, AXES.model)
+    if ROW_PARALLEL.search(path_str) and shapes_ok(0):
+        return P(AXES.model, None)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding tree for a param pytree under ``mesh``."""
+    model_size = mesh.shape.get(AXES.model, 1)
+
+    def one(path, leaf):
+        path_str = jax.tree_util.keystr(path)
+        def shapes_ok(dim):
+            return leaf.shape[dim] % model_size == 0
+        spec = _spec_for(path_str, leaf.ndim, model_size, shapes_ok)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(params: Any, mesh: Mesh):
+    shardings = param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
