@@ -41,9 +41,51 @@ def _read_wav(path) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+def _read_bytes_blob(data: bytes, expected_rate) -> tuple[np.ndarray, int]:
+    """Decode an in-memory npy / wav / flac blob
+    (reference st_raw_audio_triple_dataset.py:110-147 magic-byte sniffing)."""
+    f = io.BytesIO(data)
+    if data[:2] == b"\x93N":                       # npy magic
+        return np.load(f).astype(np.float32), expected_rate or 16000
+    if data[:2] == b"RI":                          # RIFF/wav
+        with wave.open(f, "rb") as w:
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+            width, channels = w.getsampwidth(), w.getnchannels()
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        if channels > 1:
+            arr = arr.reshape(-1, channels).mean(axis=1)
+        return arr, rate
+    try:
+        import soundfile as sf
+    except ImportError as e:
+        raise ImportError("decoding this embedded blob (flac?) needs the "
+                          "optional 'soundfile' package") from e
+    arr, rate = sf.read(f, dtype="float32")
+    if arr.ndim > 1:
+        arr = arr.mean(axis=1)
+    return arr, rate
+
+
 def read_audio(path, expected_rate: int | None = 16000) -> np.ndarray:
     """Load a waveform as float32 mono; checks the sample rate like the
-    reference (raw_audio_dataset.py:236-241)."""
+    reference (raw_audio_dataset.py:236-241).
+
+    Also accepts the reference's byte-range syntax
+    ``<container path>:<byte offset>:<byte length>`` for audio embedded in
+    uncompressed zip containers (MuST-C layout;
+    st_raw_audio_triple_dataset.py:154-186).
+    """
+    spath = str(path)
+    if spath.count(":") == 2:
+        base, off, size = spath.rsplit(":", 2)
+        with open(base, "rb") as f:
+            f.seek(int(off))
+            blob = f.read(int(size))
+        data, rate = _read_bytes_blob(blob, expected_rate)
+        if expected_rate is not None and rate != expected_rate:
+            raise ValueError(f"{path}: sample rate {rate} != {expected_rate}")
+        return np.ascontiguousarray(data, dtype=np.float32)
     p = Path(path)
     suffix = p.suffix.lower()
     if suffix == ".wav":

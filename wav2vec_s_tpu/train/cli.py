@@ -180,11 +180,18 @@ def main(argv=None):
     # one compiled step per context bucket
     steps = {}
 
+    grad_mask = None
+    if run.freeze_w2v2_enc or run.freeze_finetune_updates:
+        from wav2vec_s_tpu.train.recipes import make_freeze_mask
+        grad_mask = make_freeze_mask(run.freeze_w2v2_enc,
+                                     run.freeze_finetune_updates)
+
     def get_step(mc, rc):
         if (mc, rc) not in steps:
             steps[(mc, rc)] = jax.jit(
                 make_train_step(make_loss(mc, rc), optimizer,
-                                accum_steps=run.update_freq),
+                                accum_steps=run.update_freq,
+                                grad_mask=grad_mask),
                 donate_argnums=0)
         return steps[(mc, rc)]
 

@@ -53,6 +53,9 @@ class RunConfig:
     load_pretrained_model_from: str = ""   # torch .pt (wav2vec2 warm start)
     w2v2_model_path: str = ""              # torch .pt for CAAT encoder
     restore_from: str = ""                 # our own checkpoint dir
+    # freeze schedules (rain w2v2_transducer.py:163-174, unidirect:585-588)
+    freeze_w2v2_enc: int = 0
+    freeze_finetune_updates: int = 0
 
 
 @dataclasses.dataclass

@@ -90,3 +90,40 @@ def sample_context_bucket(rng: random.Random,
 DEFAULT_CONTEXT_BUCKETS = (
     (8, 4), (12, 6), (16, 8), (20, 8), (24, 12), (28, 12), (32, 16),
 )
+
+
+def make_freeze_mask(freeze_w2v2_enc: int = 0,
+                     freeze_finetune_updates: int = 0,
+                     encoder_key: str = "encoder"):
+    """Gradient mask implementing the reference's freeze schedules.
+
+    - ``freeze_w2v2_enc`` (rain/models/w2v2_transducer.py:163-174): freeze
+      every w2v2 parameter permanently except encoder layers >= N;
+    - ``freeze_finetune_updates`` (unidirect_w2v2_encoder.py:585-588): the
+      whole w2v2 encoder gets no gradient until step N.
+
+    Returns a ``grad_mask(grads, step)`` for ``make_train_step`` (the
+    traced-step equivalent of requires_grad surgery / no_grad contexts).
+    """
+    import re
+
+    layer_re = re.compile(r"\['layers'\]\['layer_(\d+)'\]")
+
+    def grad_mask(grads, step):
+        def one(path, g):
+            keys = [getattr(p, "key", None) for p in path]
+            if encoder_key not in keys:
+                return g
+            scale = jnp.asarray(1.0, g.dtype)
+            if freeze_finetune_updates > 0:
+                scale = scale * (step >= freeze_finetune_updates)
+            if freeze_w2v2_enc > 0:
+                m = layer_re.search(jax.tree_util.keystr(path))
+                trainable = bool(m) and int(m.group(1)) >= freeze_w2v2_enc
+                if not trainable:
+                    scale = scale * 0.0
+            return g * scale
+
+        return jax.tree_util.tree_map_with_path(one, grads)
+
+    return grad_mask
