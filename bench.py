@@ -27,7 +27,7 @@ def main(attention_impl: str = "flash"):
                                 attention_impl=attention_impl)
     model = Wav2Vec2Model(cfg, encoder_type="blockwise")
 
-    B, seconds = 8, 10.0
+    B, seconds = 32, 10.0
     S = int(seconds * 16000)
     src = jax.random.normal(jax.random.PRNGKey(0), (B, S), jnp.float32)
     mask_pos = jnp.zeros((B, 2), jnp.int32)
