@@ -108,3 +108,25 @@ def test_streaming_end_to_end():
     if len(d):
         assert (np.diff(d) >= 0).all()
         assert d.max() <= r.source_len_ms + 1e-6
+
+
+def test_ensemble_engine_matches_single():
+    from wav2vec_s_tpu.data.dictionary import Dictionary
+    from wav2vec_s_tpu.stream.engine import StreamingEngine, EnsembleEngine
+
+    model, params, caat = _tiny_caat()
+    kw = dict(main_context=4, right_context=2,
+              audio_buckets=[1280 * i for i in range(1, 10)],
+              token_buckets=[8])
+    e1 = StreamingEngine(model, params, **kw)
+    ens = EnsembleEngine([StreamingEngine(model, params, **kw),
+                          StreamingEngine(model, params, **kw)])
+    wav = np.random.default_rng(0).standard_normal(3840).astype(np.float32)
+    enc1, t1 = e1.encode_prefix(wav, False)
+    encs, t2 = ens.encode_prefix(wav, False)
+    assert t1 == t2 and len(encs) == 2
+    prefixes = np.asarray([[0, 7]], np.int32)
+    lens = np.asarray([2])
+    s1 = e1.decode_scores(prefixes, lens, enc1, t1)
+    s2 = ens.decode_scores(prefixes, lens, encs, t2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)

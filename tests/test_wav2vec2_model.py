@@ -129,3 +129,20 @@ def test_train_mode_runs_and_grads_flow():
     # encoder weights must receive gradient
     g_enc = grads["encoder"]["layers"]["layer_0"]["self_attn"]["q_proj"]["kernel"]
     assert np.abs(np.asarray(g_enc)).max() > 0
+
+
+def test_relative_attention_module():
+    from wav2vec_s_tpu.models.modules import RelativeMultiheadSelfAttention
+    mod = RelativeMultiheadSelfAttention(16, 4, max_relative_position=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 9, 16))
+    p = mod.init(jax.random.PRNGKey(1), x)
+    y = mod.apply(p, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # relative embeddings actually contribute: zeroing them changes output
+    p2 = jax.tree_util.tree_map(lambda a: a, p)
+    p2 = {"params": dict(p["params"], rel_keys=jnp.zeros_like(
+        p["params"]["rel_keys"]), rel_values=jnp.zeros_like(
+        p["params"]["rel_values"]))}
+    y2 = mod.apply(p2, x)
+    assert np.abs(np.asarray(y) - np.asarray(y2)).max() > 1e-4

@@ -166,6 +166,58 @@ class MultiheadSelfAttention(nn.Module):
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 
+class RelativeMultiheadSelfAttention(nn.Module):
+    """Self-attention with Shaw-style relative position embeddings.
+
+    Twin of rain's ``MultiheadRelativeAttention``
+    (rain/layers/multihead_attention_relative.py:21-406, used by the fbank
+    model variants): attention logits get a content-to-position term from a
+    learned table of clipped relative distances; values likewise receive a
+    position contribution.
+    """
+
+    embed_dim: int
+    num_heads: int
+    max_relative_position: int = 16
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias=None, deterministic: bool = True):
+        D, H = self.embed_dim, self.num_heads
+        Dh = D // H
+        B, T, _ = x.shape
+        dense = lambda name: nn.Dense(D, dtype=self.dtype, name=name)
+        q = dense("q_proj")(x).reshape(B, T, H, Dh)
+        k = dense("k_proj")(x).reshape(B, T, H, Dh)
+        v = dense("v_proj")(x).reshape(B, T, H, Dh)
+
+        R = self.max_relative_position
+        rel_k = self.param("rel_keys", nn.initializers.normal(Dh ** -0.5),
+                           (2 * R + 1, Dh), jnp.float32)
+        rel_v = self.param("rel_values", nn.initializers.normal(Dh ** -0.5),
+                           (2 * R + 1, Dh), jnp.float32)
+        dist = jnp.clip(jnp.arange(T)[None, :] - jnp.arange(T)[:, None],
+                        -R, R) + R                                  # [T,T]
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        rel_logits = jnp.einsum("bqhd,qkd->bhqk", q.astype(jnp.float32),
+                                rel_k[dist])
+        logits = (logits + rel_logits) * (Dh ** -0.5)
+        if bias is not None:
+            logits = logits + bias.astype(logits.dtype)
+        p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        if self.dropout > 0 and not deterministic:
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - self.dropout, p.shape)
+            p = p * keep / (1.0 - self.dropout)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        out = out + jnp.einsum("bhqk,qkd->bqhd", p.astype(jnp.float32),
+                               rel_v[dist]).astype(out.dtype)
+        return dense("out_proj")(out.reshape(B, T, D))
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-/pre-LN transformer layer (wav2vec2.py:874-978)."""
 

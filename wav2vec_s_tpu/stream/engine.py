@@ -112,3 +112,29 @@ class StreamingEngine:
                                 jnp.asarray(lens.astype(np.int32)),
                                 jnp.asarray(enc_buf), jnp.asarray(mask))
         return np.array(out)  # writable host copy (searcher mutates columns)
+
+
+class EnsembleEngine:
+    """Model ensemble for streaming decode (twin of rain's ``OnlineModels``,
+    rain/simul/transducer_agent.py:22-167): per-model encoders, next-symbol
+    distributions averaged in probability space (logsumexp - log N, the
+    fairseq EnsembleModel rule).  Drop-in for ``StreamingEngine`` — the
+    searcher treats the encoder state as opaque."""
+
+    def __init__(self, engines):
+        assert engines, "need at least one engine"
+        self.engines = list(engines)
+
+    def encode_prefix(self, audio, finished: bool):
+        outs = [e.encode_prefix(audio, finished) for e in self.engines]
+        t_eff = outs[0][1]
+        assert all(o[1] == t_eff for o in outs), "encoders disagree on length"
+        return [o[0] for o in outs], t_eff
+
+    def decode_scores(self, prefixes, lens, encs, visible):
+        lps = np.stack([
+            e.decode_scores(prefixes, lens, enc, visible)
+            for e, enc in zip(self.engines, encs)])
+        m = lps.max(axis=0)
+        avg = m + np.log(np.exp(lps - m).mean(axis=0))
+        return avg
