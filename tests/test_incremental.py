@@ -1,0 +1,75 @@
+"""Incremental cached encoder == full blockwise re-encode (the key parity
+property for the O(T) streaming path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tests.test_wav2vec2_model import TINY, _rngs
+from wav2vec_s_tpu.models import Wav2Vec2Model
+from wav2vec_s_tpu.stream.incremental import IncrementalBlockwiseEncoder
+
+
+def test_incremental_matches_full_encode():
+    mc, rc = TINY.main_context, TINY.right_context   # 4, 2
+    model = Wav2Vec2Model(TINY, encoder_type="blockwise")
+    N, K = 2, 5                                       # streams, chunks
+    from wav2vec_s_tpu.models.feature_extractor import conv_receptive_stride
+    rf, hop = conv_receptive_stride(TINY.conv_feature_layers)
+    total_frames = K * mc + rc
+    n_samples = (total_frames - 1) * hop + rf
+    audio = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (N, n_samples)), np.float32)
+
+    variables = model.init(_rngs(), jnp.asarray(audio),
+                           jnp.zeros((N, 2), jnp.int32), 0, train=False)
+    full, _ = model.apply(variables, jnp.asarray(audio),
+                          method=Wav2Vec2Model.extract_features,
+                          main_context=mc, right_context=rc)
+    full = np.asarray(full)
+
+    enc = IncrementalBlockwiseEncoder(TINY, variables["params"], N, t_cap=64)
+    state = enc.init()
+    W = enc.window
+    for k in range(K):
+        start = k * mc * hop
+        win = audio[:, start:start + W]
+        if win.shape[1] < W:
+            win = np.pad(win, ((0, 0), (0, W - win.shape[1])))
+        state = enc.step(state, win)
+    t = int(state.t_main)
+    assert t == K * mc
+    got = np.asarray(state.out_cache)[:, :t]
+    np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)
+
+
+def test_flush_commits_lookahead():
+    mc, rc = TINY.main_context, TINY.right_context
+    model = Wav2Vec2Model(TINY, encoder_type="blockwise")
+    N, K = 1, 3
+    from wav2vec_s_tpu.models.feature_extractor import conv_receptive_stride
+    rf, hop = conv_receptive_stride(TINY.conv_feature_layers)
+    total_frames = K * mc + rc
+    n_samples = (total_frames - 1) * hop + rf
+    audio = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (N, n_samples)), np.float32)
+    variables = model.init(_rngs(), jnp.asarray(audio),
+                           jnp.zeros((N, 2), jnp.int32), 0, train=False)
+    full, _ = model.apply(variables, jnp.asarray(audio),
+                          method=Wav2Vec2Model.extract_features,
+                          main_context=mc, right_context=rc)
+    full = np.asarray(full)
+
+    enc = IncrementalBlockwiseEncoder(TINY, variables["params"], N, t_cap=64)
+    state = enc.init()
+    W = enc.window
+    for k in range(K):
+        start = k * mc * hop
+        win = audio[:, start:start + W]
+        if win.shape[1] < W:
+            win = np.pad(win, ((0, 0), (0, W - win.shape[1])))
+        state = enc.step(state, win, flush=(k == K - 1))
+    t = int(state.t_main)
+    assert t == K * mc + rc
+    got = np.asarray(state.out_cache)[:, :t]
+    np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)

@@ -20,7 +20,6 @@ Checkpoint-parity quirks handled elsewhere but relied on here: conv-extractor
 
 from __future__ import annotations
 
-import io
 from typing import Any, Dict
 
 import numpy as np

@@ -23,7 +23,6 @@ VMEM at streaming sequence lengths (S <= ~2k).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import numpy as np
 import jax
@@ -31,7 +30,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from wav2vec_s_tpu.ops.block_mask import BlockLayout, MASK_VALUE
 
 TILE = 128
 NEG = -1e9

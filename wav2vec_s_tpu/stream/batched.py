@@ -1,0 +1,568 @@
+"""Batched multi-stream greedy streaming decode.
+
+The reference agent decodes one utterance at a time (SimulEval forks client
+*processes*, cli.py:126-150); on TPU the right shape is one device batch of
+many concurrent streams.  This module runs N streams in lockstep through the
+blockwise encoder and a greedy transducer policy:
+
+per chunk (``step_frames`` new frames for every stream):
+  1. batched full-prefix encode (one jitted call, bucketed lengths),
+  2. up to ``max_emit`` greedy decode steps, each one batched over streams:
+     emit argmax symbol where it is not blank/finished, else hold
+     (blank advances to the next chunk) — the lax-style masked-update
+     version of the per-stream emit loop.
+
+This is the throughput path of the framework (north-star metric: streamed
+audio-sec per second per chip through the *full* agent path); the beam
+searcher (stream/searcher.py) remains the quality path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wav2vec_s_tpu.data.batching import bucket_for
+from wav2vec_s_tpu.models.feature_extractor import conv_output_length
+
+
+@dataclasses.dataclass
+class BatchedStreamState:
+    prefixes: np.ndarray       # [N, U_cap] right-padded with pad id
+    lens: np.ndarray           # [N] prefix lengths (>=1, bos)
+    finished: np.ndarray       # [N] bool (emitted max length or stream done)
+
+
+class BatchedGreedyStreamingDecoder:
+    def __init__(self, model, params, vocab, main_context=16,
+                 right_context=8, max_len=200, max_emit_per_chunk=8,
+                 audio_buckets=None):
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.mc, self.rc = main_context, right_context
+        self.max_len = max_len
+        self.max_emit = max_emit_per_chunk
+        hop = 320
+        if audio_buckets is None:
+            step = self.mc * hop
+            audio_buckets = [step * i for i in range(1, 26)]
+            v = audio_buckets[-1]
+            while v < 60 * 16000:
+                v = int(v * 1.25) // step * step + step
+                audio_buckets.append(v)
+        self.audio_buckets = list(audio_buckets)
+
+        @jax.jit
+        def _encode(params, audio, n_samples):
+            S = audio.shape[1]
+            pad = jnp.arange(S)[None, :] >= n_samples[:, None]
+            return self.model.apply(
+                {"params": params}, audio, pad, self.mc, self.rc, False,
+                method=type(self.model).encode)
+
+        @jax.jit
+        def _greedy_block(params, prefixes, lens, finished, enc, enc_mask,
+                          max_len):
+            """Up to max_emit greedy emissions against the revealed frames."""
+            blank = self.vocab.bos()
+            pad = self.vocab.pad()
+
+            def body(i, carry):
+                prefixes, lens, finished, blocked = carry
+                lp = self.model.apply(
+                    {"params": params}, prefixes, lens, enc, enc_mask,
+                    method=type(self.model).decode_step)
+                lp = lp.at[:, pad].set(-jnp.inf)
+                tok = jnp.argmax(lp, axis=-1)
+                emit = (~finished) & (~blocked) & (tok != blank) \
+                    & (lens < max_len)
+                n = prefixes.shape[0]
+                prefixes = prefixes.at[jnp.arange(n), lens].set(
+                    jnp.where(emit, tok.astype(prefixes.dtype),
+                              prefixes[jnp.arange(n), lens]))
+                lens = lens + emit.astype(lens.dtype)
+                blocked = blocked | ~emit     # blank -> wait for next chunk
+                return prefixes, lens, finished, blocked
+
+            blocked = jnp.zeros_like(finished)
+            prefixes, lens, finished, _ = jax.lax.fori_loop(
+                0, self.max_emit, body,
+                (prefixes, lens, finished, blocked))
+            return prefixes, lens
+
+        self._encode = _encode
+        self._greedy_block = _greedy_block
+
+    def init_state(self, n_streams: int) -> BatchedStreamState:
+        p = np.full((n_streams, self.max_len + 1), self.vocab.pad(), np.int32)
+        p[:, 0] = self.vocab.bos()
+        return BatchedStreamState(
+            prefixes=p, lens=np.ones(n_streams, np.int32),
+            finished=np.zeros(n_streams, bool))
+
+    def step(self, state: BatchedStreamState, audio_prefixes: np.ndarray,
+             audio_lens: np.ndarray, stream_done: np.ndarray
+             ) -> BatchedStreamState:
+        """Advance all streams given their audio so far.
+
+        audio_prefixes: [N, S_max] float32 (zero-padded); audio_lens: [N]
+        samples received; stream_done: [N] whether the source is exhausted.
+        """
+        N = audio_prefixes.shape[0]
+        S = bucket_for(int(audio_lens.max()), self.audio_buckets)
+        buf = audio_prefixes[:, :S]
+        if buf.shape[1] < S:
+            buf = np.pad(buf, ((0, 0), (0, S - buf.shape[1])))
+        enc, enc_pad = self._encode(self.params, jnp.asarray(buf),
+                                    jnp.asarray(audio_lens))
+        # visible frames per stream: full conv output if done, minus rc else
+        frames = np.asarray([conv_output_length(int(n))
+                             for n in audio_lens])
+        visible = np.where(stream_done, frames,
+                           np.maximum(frames - self.rc, 0))
+        T = enc.shape[1]
+        mask = np.arange(T)[None, :] >= visible[:, None]
+        prefixes, lens = self._greedy_block(
+            self.params, jnp.asarray(state.prefixes),
+            jnp.asarray(state.lens),
+            jnp.asarray(state.finished), enc, jnp.asarray(mask),
+            jnp.asarray(self.max_len, jnp.int32))
+        return BatchedStreamState(
+            prefixes=np.asarray(prefixes), lens=np.asarray(lens),
+            finished=state.finished | stream_done)
+
+    def decode_corpus(self, wavs: List[np.ndarray],
+                      chunk_frames: Optional[int] = None):
+        """Stream a corpus in lockstep; returns (texts, delays_ms per word).
+
+        ``chunk_frames`` — new frames per policy step (default mc)."""
+        N = len(wavs)
+        hop = 320
+        chunk = (chunk_frames or self.mc) * hop
+        max_samples = max(len(w) for w in wavs)
+        audio = np.zeros((N, max_samples), np.float32)
+        for i, w in enumerate(wavs):
+            audio[i, :len(w)] = w
+        total = np.asarray([len(w) for w in wavs])
+
+        state = self.init_state(N)
+        delays = [[] for _ in range(N)]
+        offset = self.mc * hop + self.rc * hop          # init_frames
+        prev_lens = state.lens.copy()
+        while True:
+            cur = np.minimum(offset, total)
+            done = cur >= total
+            state = self.step(state, audio, cur, done)
+            for i in range(N):
+                new = int(state.lens[i] - prev_lens[i])
+                delays[i].extend([cur[i] / 16.0] * new)
+            prev_lens = state.lens.copy()
+            if done.all():
+                break
+            offset += chunk
+
+        texts = []
+        for i in range(N):
+            ids = state.prefixes[i, 1:state.lens[i]]
+            pieces = [self.vocab[int(t)] for t in ids
+                      if int(t) >= self.vocab.nspecial]
+            texts.append("".join(pieces).replace("▁", " ").strip()
+                         if pieces else "")
+        return texts, delays
+
+
+class IncrementalGreedyDecoder:
+    """Batched greedy streaming over the O(T) incremental encoder.
+
+    Exactly two compiled graphs serve an entire corpus (one encoder step,
+    one greedy block), so per-chunk dispatch overhead is constant — this is
+    the production throughput path.  Streams run in lockstep (equal chunk
+    grid; shorter streams are zero-padded and stop emitting when done).
+    """
+
+    def __init__(self, model, params, vocab, w2v_cfg, max_len=200,
+                 max_emit_per_chunk=8, t_cap=2048):
+        from wav2vec_s_tpu.stream.incremental import (
+            IncrementalBlockwiseEncoder)
+
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.max_len = max_len
+        self.max_emit = max_emit_per_chunk
+        self.mc = w2v_cfg.main_context
+        self.rc = w2v_cfg.right_context
+        self.t_cap = t_cap
+        self._n_streams = None
+        self._enc_factory = lambda n: IncrementalBlockwiseEncoder(
+            w2v_cfg, params["encoder"], n, t_cap=t_cap)
+
+        @jax.jit
+        def _greedy(params, prefixes, lens, finished, out_cache, visible,
+                    max_len):
+            blank = self.vocab.bos()
+            pad = self.vocab.pad()
+            mask = (jnp.arange(self.t_cap)[None, :]
+                    >= visible[:, None])                    # [N, T_cap]
+
+            def body(i, carry):
+                prefixes, lens, blocked = carry
+                lp = self.model.apply(
+                    {"params": params}, prefixes, lens, out_cache, mask,
+                    method=type(self.model).decode_step)
+                lp = lp.at[:, pad].set(-jnp.inf)
+                tok = jnp.argmax(lp, axis=-1)
+                emit = (~finished) & (~blocked) & (tok != blank) \
+                    & (lens < max_len)
+                n = prefixes.shape[0]
+                prefixes = prefixes.at[jnp.arange(n), lens].set(
+                    jnp.where(emit, tok.astype(prefixes.dtype),
+                              prefixes[jnp.arange(n), lens]))
+                lens = lens + emit.astype(lens.dtype)
+                blocked = blocked | ~emit
+                return prefixes, lens, blocked
+
+            blocked = jnp.zeros_like(finished)
+            prefixes, lens, _ = jax.lax.fori_loop(
+                0, self.max_emit, body, (prefixes, lens, blocked))
+            return prefixes, lens
+
+        self._greedy = _greedy
+
+    def decode_corpus(self, wavs: List[np.ndarray]):
+        N = len(wavs)
+        enc = self._enc_factory(N)
+        hop, W = enc.hop, enc.window
+        max_samples = max(len(w) for w in wavs)
+        audio = np.zeros((N, max_samples + W), np.float32)
+        for i, w in enumerate(wavs):
+            audio[i, :len(w)] = w
+        total_frames = (max_samples - enc.rf) // hop + 1
+        n_chunks = max((total_frames - self.rc) // self.mc, 1)
+
+        estate = enc.init()
+        prefixes = np.full((N, self.max_len + 1), self.vocab.pad(), np.int32)
+        prefixes[:, 0] = self.vocab.bos()
+        prefixes = jnp.asarray(prefixes)
+        lens = jnp.ones(N, jnp.int32)
+        finished = jnp.zeros(N, bool)
+        delays = [[] for _ in range(N)]
+        prev_lens = np.ones(N, np.int32)
+
+        # no host readback inside the loop: every chunk's work is dispatched
+        # asynchronously and the device queue pipelines back-to-back (per-call
+        # transport latency stops mattering); lens snapshots are device arrays
+        # fetched once at the end
+        lens_history = []
+        consumed = []
+        for k in range(n_chunks):
+            start = k * self.mc * hop
+            flush = k == n_chunks - 1
+            estate = enc.step(estate, audio[:, start:start + W], flush=flush)
+            visible = (estate.t_main * jnp.ones((N,), jnp.int32))
+            prefixes, lens = self._greedy(
+                self.params, prefixes, lens, finished, estate.out_cache,
+                visible, jnp.asarray(self.max_len, jnp.int32))
+            lens_history.append(lens)
+            consumed.append((start + W) / 16.0)
+
+        lens_all = np.asarray(jnp.stack(lens_history))        # [chunks, N]
+        prev = np.ones(N, np.int32)
+        for k in range(n_chunks):
+            for i in range(N):
+                delays[i].extend([consumed[k]] * int(lens_all[k, i] - prev[i]))
+            prev = lens_all[k]
+
+        texts = []
+        pfx = np.asarray(prefixes)
+        for i in range(N):
+            ids = pfx[i, 1:int(prev[i])]
+            pieces = [self.vocab[int(t)] for t in ids
+                      if int(t) >= self.vocab.nspecial]
+            texts.append("".join(pieces).replace("▁", " ").strip()
+                         if pieces else "")
+        return texts, delays
+
+
+class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
+    """One device call per corpus: the whole chunk loop runs as a
+    ``lax.scan`` over pre-sliced audio windows (encoder step + greedy
+    emissions per scan iteration).  Removes per-chunk transport latency
+    entirely — the throughput benchmark path."""
+
+    def decode_corpus(self, wavs: List[np.ndarray]):
+        N = len(wavs)
+        enc = self._enc_factory(N)
+        hop, W = enc.hop, enc.window
+        max_samples = max(len(w) for w in wavs)
+        audio = np.zeros((N, max_samples + W), np.float32)
+        for i, w in enumerate(wavs):
+            audio[i, :len(w)] = w
+        total_frames = (max_samples - enc.rf) // hop + 1
+        n_chunks = max((total_frames - self.rc) // self.mc, 1)
+
+        windows = np.stack([audio[:, k * self.mc * hop:
+                                  k * self.mc * hop + W]
+                            for k in range(n_chunks)])     # [K, N, W]
+
+        if not hasattr(self, "_fused"):
+            model, vocab = self.model, self.vocab
+            max_emit, max_len, t_cap = (self.max_emit, self.max_len,
+                                        self.t_cap)
+
+            def greedy(params, prefixes, lens, out_cache, visible):
+                blank, pad = vocab.bos(), vocab.pad()
+                mask = jnp.arange(t_cap)[None, :] >= visible[:, None]
+
+                def body(i, carry):
+                    prefixes, lens, blocked = carry
+                    lp = model.apply(
+                        {"params": params}, prefixes, lens, out_cache, mask,
+                        method=type(model).decode_step)
+                    lp = lp.at[:, pad].set(-jnp.inf)
+                    tok = jnp.argmax(lp, axis=-1)
+                    emit = (~blocked) & (tok != blank) & (lens < max_len)
+                    n = prefixes.shape[0]
+                    prefixes = prefixes.at[jnp.arange(n), lens].set(
+                        jnp.where(emit, tok.astype(prefixes.dtype),
+                                  prefixes[jnp.arange(n), lens]))
+                    lens = lens + emit.astype(lens.dtype)
+                    return prefixes, lens, blocked | ~emit
+
+                blocked = jnp.zeros(prefixes.shape[0], bool)
+                prefixes, lens, _ = jax.lax.fori_loop(
+                    0, max_emit, body, (prefixes, lens, blocked))
+                return prefixes, lens
+
+            def fused(params, estate, prefixes, lens, windows):
+                def scan_body(carry, win):
+                    estate, prefixes, lens = carry
+                    estate = enc.step_fn(params["encoder"], estate, win)
+                    visible = estate.t_main * jnp.ones(
+                        (prefixes.shape[0],), jnp.int32)
+                    prefixes, lens = greedy(params, prefixes, lens,
+                                            estate.out_cache, visible)
+                    return (estate, prefixes, lens), lens
+
+                (estate, prefixes, lens), lens_hist = jax.lax.scan(
+                    scan_body, (estate, prefixes, lens), windows[:-1])
+                # final chunk with flush (commits the look-ahead frames)
+                estate = enc.flush_fn(params["encoder"], estate,
+                                      windows[-1])
+                visible = estate.t_main * jnp.ones((prefixes.shape[0],),
+                                                   jnp.int32)
+                prefixes, lens = greedy(params, prefixes, lens,
+                                        estate.out_cache, visible)
+                lens_hist = jnp.concatenate([lens_hist, lens[None]], 0)
+                return prefixes, lens, lens_hist
+
+            self._fused = jax.jit(fused)
+
+        estate = enc.init()
+        prefixes = np.full((N, self.max_len + 1), self.vocab.pad(), np.int32)
+        prefixes[:, 0] = self.vocab.bos()
+        prefixes, lens, lens_hist = self._fused(
+            self.params, estate, jnp.asarray(prefixes),
+            jnp.ones(N, jnp.int32), jnp.asarray(windows))
+
+        lens_all = np.asarray(lens_hist)
+        delays = [[] for _ in range(N)]
+        prev = np.ones(N, np.int32)
+        for k in range(n_chunks):
+            ms = (k * self.mc * enc.hop + W) / 16.0
+            for i in range(N):
+                delays[i].extend([ms] * int(lens_all[k, i] - prev[i]))
+            prev = lens_all[k]
+
+        texts = []
+        pfx = np.asarray(prefixes)
+        for i in range(N):
+            ids = pfx[i, 1:int(prev[i])]
+            pieces = [self.vocab[int(t)] for t in ids
+                      if int(t) >= self.vocab.nspecial]
+            texts.append("".join(pieces).replace("▁", " ").strip()
+                         if pieces else "")
+        return texts, delays
+
+
+class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
+    """Fused scan + incremental *jointer* K/V caches.
+
+    The jointer cross-attends the same encoder output at every layer, so its
+    per-layer K/V projections are append-only streams exactly like the
+    encoder's (the reference caches them in ExpandMultiheadAttention's
+    incremental state, attention_transducer.py:667-684).  Without this, every
+    greedy emission reprojects the whole encoder history — the dominant cost
+    of the fused path.
+    """
+
+    def decode_corpus(self, wavs: List[np.ndarray]):
+        from wav2vec_s_tpu.models.modules import fp32_layer_norm
+        from wav2vec_s_tpu.ops.block_mask import MASK_VALUE
+
+        N = len(wavs)
+        enc = self._enc_factory(N)
+        hop, W = enc.hop, enc.window
+        max_samples = max(len(w) for w in wavs)
+        audio = np.zeros((N, max_samples + W), np.float32)
+        for i, w in enumerate(wavs):
+            audio[i, :len(w)] = w
+        total_frames = (max_samples - enc.rf) // hop + 1
+        n_chunks = max((total_frames - self.rc) // self.mc, 1)
+        windows = np.stack([audio[:, k * self.mc * hop:
+                                  k * self.mc * hop + W]
+                            for k in range(n_chunks)])
+
+        model, vocab = self.model, self.vocab
+        caat = model.cfg
+        L_j = caat.jointer_layers
+        D = caat.jointer_embed_dim
+        H = caat.jointer_attention_heads
+        Dh = D // H
+        max_emit, max_len, t_cap = self.max_emit, self.max_len, self.t_cap
+        mc, rc = self.mc, self.rc
+
+        def _dense(p, x):
+            y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
+            return y + p["bias"].astype(x.dtype) if "bias" in p else y
+
+        def _ln(p, x):
+            return fp32_layer_norm(x, p["scale"], p["bias"])
+
+        def build_joint_kv(params, x_new):
+            """x_new: [N, n, D] new encoder frames -> [L_j, N, n, D] x2."""
+            ks, vs = [], []
+            for i in range(L_j):
+                att = params["jointer"][f"layer_{i}"]["enc_attn"]
+                ks.append(_dense(att["k_proj"], x_new))
+                vs.append(_dense(att["v_proj"], x_new))
+            return jnp.stack(ks), jnp.stack(vs)
+
+        def jointer_cached(params, h_last, jk, jv, visible):
+            """h_last: [N, 1, D]; jk/jv: [L_j, N, T_cap, D] -> logits [N,V]."""
+            mask = (jnp.arange(t_cap)[None, :] >= visible[:, None])
+            bias = jnp.where(mask, MASK_VALUE, 0.0)[:, None, None, :]
+            x = h_last
+            for i in range(L_j):
+                lp = params["jointer"][f"layer_{i}"]
+                h = _ln(lp["attn_layer_norm"], x)
+                att = lp["enc_attn"]
+                q = _dense(att["q_proj"], h).reshape(-1, 1, H, Dh)
+                k = jk[i].reshape(jk.shape[1], t_cap, H, Dh)
+                v = jv[i].reshape(jv.shape[1], t_cap, H, Dh)
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32)
+                logits = logits * (Dh ** -0.5) + bias
+                p_att = jax.nn.softmax(logits, -1).astype(x.dtype)
+                o = jnp.einsum("bhqk,bkhd->bqhd", p_att, v).reshape(
+                    -1, 1, D)
+                x = x + _dense(att["out_proj"], o)
+                h = _ln(lp["final_layer_norm"], x)
+                h = jax.nn.relu(_dense(lp["fc1"], h))
+                x = x + _dense(lp["fc2"], h)
+            logits = jnp.einsum("bud,vd->buv", x.astype(jnp.float32),
+                                params["embed_tokens"].astype(jnp.float32))
+            return jax.nn.log_softmax(logits[:, 0], axis=-1)
+
+        def lm_last(params, prefixes, lens):
+            h = model.apply(
+                {"params": params}, prefixes, False,
+                params["embed_tokens"],
+                method=lambda m, t, tr, emb: m.decoder_lm(
+                    t, train=tr, embed_matrix=emb))
+            return h[jnp.arange(h.shape[0]), lens - 1][:, None]
+
+        def greedy(params, prefixes, lens, jk, jv, visible):
+            blank, pad = vocab.bos(), vocab.pad()
+
+            def body(i, carry):
+                prefixes, lens, blocked = carry
+                h_last = lm_last(params, prefixes, lens)
+                lp = jointer_cached(params, h_last, jk, jv, visible)
+                lp = lp.at[:, pad].set(-jnp.inf)
+                tok = jnp.argmax(lp, axis=-1)
+                emit = (~blocked) & (tok != blank) & (lens < max_len)
+                n = prefixes.shape[0]
+                prefixes = prefixes.at[jnp.arange(n), lens].set(
+                    jnp.where(emit, tok.astype(prefixes.dtype),
+                              prefixes[jnp.arange(n), lens]))
+                lens = lens + emit.astype(lens.dtype)
+                return prefixes, lens, blocked | ~emit
+
+            blocked = jnp.zeros(prefixes.shape[0], bool)
+            prefixes, lens, _ = jax.lax.fori_loop(
+                0, max_emit, body, (prefixes, lens, blocked))
+            return prefixes, lens
+
+        def fused(params, estate, jk, jv, prefixes, lens, windows):
+            def scan_body(carry, win):
+                estate, jk, jv, prefixes, lens = carry
+                t0 = estate.t_main
+                estate = enc.step_fn(params["encoder"], estate, win)
+                x_new = jax.lax.dynamic_slice_in_dim(
+                    estate.out_cache, t0, mc, axis=1)
+                k_new, v_new = build_joint_kv(params, x_new)
+                jk = jax.lax.dynamic_update_slice_in_dim(jk, k_new, t0,
+                                                         axis=2)
+                jv = jax.lax.dynamic_update_slice_in_dim(jv, v_new, t0,
+                                                         axis=2)
+                visible = estate.t_main * jnp.ones((prefixes.shape[0],),
+                                                   jnp.int32)
+                prefixes, lens = greedy(params, prefixes, lens, jk, jv,
+                                        visible)
+                return (estate, jk, jv, prefixes, lens), lens
+
+            (estate, jk, jv, prefixes, lens), lens_hist = jax.lax.scan(
+                scan_body, (estate, jk, jv, prefixes, lens), windows[:-1])
+            # final chunk: flush commits mc + rc frames
+            t0 = estate.t_main
+            estate = enc.flush_fn(params["encoder"], estate, windows[-1])
+            x_new = jax.lax.dynamic_slice_in_dim(estate.out_cache, t0,
+                                                 mc + rc, axis=1)
+            k_new, v_new = build_joint_kv(params, x_new)
+            jk = jax.lax.dynamic_update_slice_in_dim(jk, k_new, t0, axis=2)
+            jv = jax.lax.dynamic_update_slice_in_dim(jv, v_new, t0, axis=2)
+            visible = estate.t_main * jnp.ones((prefixes.shape[0],),
+                                               jnp.int32)
+            prefixes, lens = greedy(params, prefixes, lens, jk, jv, visible)
+            lens_hist = jnp.concatenate([lens_hist, lens[None]], 0)
+            return prefixes, lens, lens_hist
+
+        if not hasattr(self, "_fused_cached"):
+            self._fused_cached = jax.jit(fused)
+
+        estate = enc.init()
+        dt = self.params["embed_tokens"].dtype if hasattr(
+            self.params["embed_tokens"], "dtype") else jnp.float32
+        cdtype = estate.out_cache.dtype
+        jk = jnp.zeros((L_j, N, t_cap, D), cdtype)
+        jv = jnp.zeros((L_j, N, t_cap, D), cdtype)
+        prefixes = np.full((N, self.max_len + 1), vocab.pad(), np.int32)
+        prefixes[:, 0] = vocab.bos()
+        prefixes, lens, lens_hist = self._fused_cached(
+            self.params, estate, jk, jv, jnp.asarray(prefixes),
+            jnp.ones(N, jnp.int32), jnp.asarray(windows))
+
+        lens_all = np.asarray(lens_hist)
+        delays = [[] for _ in range(N)]
+        prev = np.ones(N, np.int32)
+        for k in range(n_chunks):
+            ms = (k * mc * hop + W) / 16.0
+            for i in range(N):
+                delays[i].extend([ms] * int(lens_all[k, i] - prev[i]))
+            prev = lens_all[k]
+
+        texts = []
+        pfx = np.asarray(prefixes)
+        for i in range(N):
+            ids = pfx[i, 1:int(prev[i])]
+            pieces = [vocab[int(t)] for t in ids
+                      if int(t) >= vocab.nspecial]
+            texts.append("".join(pieces).replace("▁", " ").strip()
+                         if pieces else "")
+        return texts, delays

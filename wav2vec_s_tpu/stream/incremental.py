@@ -1,0 +1,197 @@
+"""Incremental blockwise encoder with device-side KV caches (O(T) streaming).
+
+The quality path (`stream/engine.py`) re-encodes the full prefix per chunk —
+simple, but O(T^2) over a stream.  This module is the throughput path: the
+functional equivalent of the reference's cached `forward_infer`
+(rain/layers/unidirect_w2v2_encoder.py:332-440 — per-layer KV caches with
+right-context rollback), redesigned for XLA:
+
+- one jitted `step` with *static* shapes processes `mc` new frames plus the
+  `rc` look-ahead for every stream in the batch;
+- per-layer K/V of the `mc` main frames append into fixed-capacity cache
+  buffers at `dynamic_update_slice` offsets (the reference's
+  `rollback_steps` disappears: look-ahead K/V are simply never written);
+- the block-attention rule collapses to "cached frames (blocks < b) + the
+  whole current chunk (block b main + its look-ahead copies)", exactly the
+  training mask restricted to the new rows.
+
+Equality with the full blockwise re-encode is asserted in
+tests/test_incremental.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from wav2vec_s_tpu.models.feature_extractor import (
+    ConvFeatureExtractor, conv_receptive_stride)
+from wav2vec_s_tpu.models.modules import fp32_layer_norm
+from wav2vec_s_tpu.ops.block_mask import MASK_VALUE
+from wav2vec_s_tpu.utils.positional import sinusoidal_table, POS_OFFSET
+
+class IncrementalEncoderState(struct.PyTreeNode):
+    k_cache: jnp.ndarray     # [L, N, T_cap, D]
+    v_cache: jnp.ndarray     # [L, N, T_cap, D]
+    out_cache: jnp.ndarray   # [N, T_cap, D] encoder outputs
+    t_main: jnp.ndarray      # scalar int32: frames cached so far
+
+
+def init_state(n_streams: int, n_layers: int, dim: int, t_cap: int,
+               dtype=jnp.float32) -> IncrementalEncoderState:
+    z = jnp.zeros((n_layers, n_streams, t_cap, dim), dtype)
+    return IncrementalEncoderState(
+        k_cache=z, v_cache=z,
+        out_cache=jnp.zeros((n_streams, t_cap, dim), dtype),
+        t_main=jnp.zeros((), jnp.int32))
+
+
+def _dense(p, x):
+    y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _ln(p, x):
+    return fp32_layer_norm(x, p["scale"], p["bias"])
+
+
+class IncrementalBlockwiseEncoder:
+    """Binds a Wav2Vec2 param tree to the jitted incremental step."""
+
+    def __init__(self, w2v_cfg, params, n_streams: int, t_cap: int = 2048):
+        assert w2v_cfg.extractor_mode == "layer_norm", (
+            "incremental streaming needs the stateless (layer-norm) conv "
+            "front-end; 'default' group-norm normalizes over time")
+        assert not w2v_cfg.layer_norm_first or True
+        self.cfg = w2v_cfg
+        self.params = params          # the Wav2Vec2Model subtree
+        self.n = n_streams
+        self.t_cap = t_cap
+        self.mc = w2v_cfg.main_context
+        self.rc = w2v_cfg.right_context
+        rf, hop = conv_receptive_stride(w2v_cfg.conv_feature_layers)
+        self.hop, self.rf = hop, rf
+        # samples covering frames [t, t + mc + rc)
+        self.window = (self.mc + self.rc - 1) * hop + rf
+        self._conv = ConvFeatureExtractor(
+            conv_layers=w2v_cfg.conv_feature_layers,
+            mode=w2v_cfg.extractor_mode,
+            layer_norm_num=w2v_cfg.layer_norm_num,
+            conv_bias=w2v_cfg.conv_bias,
+            dtype=w2v_cfg.compute_dtype)
+        self._table = sinusoidal_table(
+            t_cap + POS_OFFSET + 2, w2v_cfg.encoder_embed_dim)
+
+        self.step_fn = self._make_step(flush=False)    # pure, for fusion
+        self.flush_fn = self._make_step(flush=True)
+        self._step = jax.jit(self.step_fn)
+        self._flush = jax.jit(self.flush_fn)
+
+    # -- the step ------------------------------------------------------
+    def _make_step(self, flush: bool):
+        c = self.cfg
+        mc, rc = self.mc, self.rc
+        n_new = mc + rc               # frames computed per step
+        n_keep = n_new if flush else mc
+
+        def step(params, state: IncrementalEncoderState, window):
+            """window: [N, W] raw samples covering frames
+            [t_main, t_main + mc + rc)."""
+            feats = self._conv.apply(
+                {"params": params["feature_extractor"]}, window)
+            feats = feats[:, :n_new]
+            feats = _ln(params["layer_norm"], feats)
+            if "post_extract_proj" in params:
+                feats = _dense(params["post_extract_proj"], feats)
+
+            enc_p = params["encoder"]
+            # positions: global frame index + fairseq offset
+            pos = jax.lax.dynamic_slice_in_dim(
+                self._table, state.t_main + POS_OFFSET, n_new, 0)
+            x = feats + pos[None].astype(feats.dtype)
+            if not c.layer_norm_first:
+                x = _ln(enc_p["layer_norm"], x)
+
+            t0 = state.t_main
+            # key visibility: cached frames < t0, plus the whole chunk
+            cache_vis = (jnp.arange(self.t_cap)[None, :]
+                         < t0)                              # [1, T_cap]
+            bias_cache = jnp.where(cache_vis, 0.0, MASK_VALUE)
+            bias = jnp.concatenate(
+                [bias_cache, jnp.zeros((1, n_new))], axis=1)  # [1, T_cap+new]
+            bias = bias[None, None]                         # [1,1,1,K]
+
+            H = c.encoder_attention_heads
+            D = c.encoder_embed_dim
+            Dh = D // H
+            new_k = state.k_cache
+            new_v = state.v_cache
+
+            for i in range(c.encoder_layers):
+                lp = enc_p["layers"][f"layer_{i}"]
+                att = lp["self_attn"]
+                q = _dense(att["q_proj"], x) * (Dh ** -0.5)
+                k_new = _dense(att["k_proj"], x)
+                v_new = _dense(att["v_proj"], x)
+                k_all = jnp.concatenate(
+                    [state.k_cache[i].astype(x.dtype), k_new], axis=1)
+                v_all = jnp.concatenate(
+                    [state.v_cache[i].astype(x.dtype), v_new], axis=1)
+
+                def split(t):
+                    B, T, _ = t.shape
+                    return t.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+
+                logits = jnp.einsum("bhqd,bhkd->bhqk", split(q),
+                                    split(k_all),
+                                    preferred_element_type=jnp.float32)
+                logits = logits + bias
+                p_att = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                o = jnp.einsum("bhqk,bhkd->bhqd", p_att, split(v_all))
+                o = o.transpose(0, 2, 1, 3).reshape(x.shape)
+                h = _dense(att["out_proj"], o)
+
+                # cache the main frames' K/V for this layer
+                new_k = new_k.at[i].set(jax.lax.dynamic_update_slice_in_dim(
+                    new_k[i], k_new[:, :n_keep].astype(new_k.dtype), t0,
+                    axis=1))
+                new_v = new_v.at[i].set(jax.lax.dynamic_update_slice_in_dim(
+                    new_v[i], v_new[:, :n_keep].astype(new_v.dtype), t0,
+                    axis=1))
+
+                if c.layer_norm_first:
+                    raise NotImplementedError(
+                        "pre-LN incremental path lands with the large config")
+                x = _ln(lp["self_attn_layer_norm"], x + h)
+                hf = _dense(lp["fc2"], jax.nn.gelu(
+                    _dense(lp["fc1"], x), approximate=False))
+                x = _ln(lp["final_layer_norm"], x + hf)
+
+            out_cache = jax.lax.dynamic_update_slice_in_dim(
+                state.out_cache, x[:, :n_keep].astype(state.out_cache.dtype),
+                t0, axis=1)
+            new_state = IncrementalEncoderState(
+                k_cache=new_k, v_cache=new_v, out_cache=out_cache,
+                t_main=t0 + n_keep)
+            return new_state
+
+        return step
+
+    # -- public API ------------------------------------------------------
+    def init(self) -> IncrementalEncoderState:
+        return init_state(self.n, self.cfg.encoder_layers,
+                          self.cfg.encoder_embed_dim, self.t_cap,
+                          self.cfg.compute_dtype)
+
+    def step(self, state, window: np.ndarray, flush: bool = False):
+        """window: [N, self.window] samples for frames
+        [t_main, t_main+mc+rc) (slice the host audio at t_main*hop);
+        flush=True also commits the look-ahead frames (end of stream)."""
+        fn = self._flush if flush else self._step
+        return fn(self.params, state, jnp.asarray(window))
