@@ -123,3 +123,35 @@ def test_import_via_torch_save_roundtrip(tmp_path):
     state = load_torch_checkpoint(tmp_path / "ckpt.pt")
     imported = import_wav2vec2_params(state["model"], TINY)
     assert "feature_extractor" in imported and "encoder" in imported
+
+
+def test_convert_cli_end_to_end(tmp_path, capsys):
+    """torch .pt -> orbax checkpoint via the converter CLI."""
+    sd = fairseq_style_state_dict(TINY)
+    torch.save({"model": sd, "args": None, "cfg": {"model": {
+        "encoder_layers": TINY.encoder_layers,
+        "encoder_embed_dim": TINY.encoder_embed_dim,
+        "encoder_ffn_embed_dim": TINY.encoder_ffn_embed_dim,
+        "encoder_attention_heads": TINY.encoder_attention_heads,
+        "extractor_mode": TINY.extractor_mode,
+        "final_dim": TINY.final_dim,
+        "latent_vars": TINY.latent_vars,
+        "latent_groups": TINY.latent_groups,
+    }}}, tmp_path / "ref.pt")
+
+    from wav2vec_s_tpu.checkpoint import convert_cli
+    convert_cli.main([
+        "--pt", str(tmp_path / "ref.pt"), "--out", str(tmp_path / "out"),
+        "conv_feature_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2))",
+        "n_negatives=4",
+    ])
+    from wav2vec_s_tpu.checkpoint.orbax_io import CheckpointManager
+    mgr = CheckpointManager(tmp_path / "out", keep_last=0)
+    state, meta = mgr.restore()
+    assert "params" in state
+    assert meta["extra"]["source"].endswith("ref.pt")
+    # restored tree matches the torch tensor values
+    w = np.asarray(state["params"]["encoder"]["layers"]["layer_0"]
+                   ["self_attn"]["q_proj"]["kernel"])
+    want = sd["encoder.layers.0.self_attn.q_proj.weight"].numpy().T
+    np.testing.assert_allclose(w, want, atol=1e-6)

@@ -1,0 +1,80 @@
+"""Convert a reference torch checkpoint into our orbax format.
+
+Twin of the fork's ``fairseq_cli/convert_online_model.py`` (a train.py clone
+that dumps a converted online state dict, :95): imports a fairseq ``.pt``
+(pre-trained wav2vec-S or a fine-tuned CAAT checkpoint with
+``encoder.w2v2_model.*`` prefixes) into our param tree and writes an orbax
+checkpoint directory that the train/eval CLIs can restore from.
+
+Usage:
+  python -m wav2vec_s_tpu.checkpoint.convert_cli \
+      --pt /path/wav2vec-S-base.pt --out /ckpt_dir \
+      [--prefix encoder.w2v2_model.] [--encoder-type blockwise] \
+      [model.key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("torch -> orbax checkpoint converter")
+    p.add_argument("--pt", required=True, help="fairseq torch checkpoint")
+    p.add_argument("--out", required=True, help="orbax checkpoint dir")
+    p.add_argument("--prefix", default="",
+                   help="state-dict key prefix to strip "
+                        "(e.g. 'encoder.w2v2_model.')")
+    p.add_argument("--encoder-type", default="blockwise",
+                   choices=["blockwise", "full"])
+    p.add_argument("--platform", default="cpu")
+    p.add_argument("overrides", nargs="*", default=[],
+                   help="Wav2Vec2Config overrides, key=value")
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from wav2vec_s_tpu.checkpoint import (
+        load_torch_checkpoint, import_wav2vec2_params)
+    from wav2vec_s_tpu.checkpoint.orbax_io import CheckpointManager
+    from wav2vec_s_tpu.models import Wav2Vec2Config
+
+    state = load_torch_checkpoint(args.pt)
+    sd = state["model"] if "model" in state else state
+
+    kw = {}
+    for ov in args.overrides:
+        k, v = ov.split("=", 1)
+        import ast
+        try:
+            kw[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            kw[k] = v
+    # try to pick dims up from the stored config when present
+    cfg_src = state.get("cfg") or {}
+    model_cfg = (cfg_src.get("model") if isinstance(cfg_src, dict) else
+                 None) or {}
+    for key in ("encoder_layers", "encoder_embed_dim",
+                "encoder_ffn_embed_dim", "encoder_attention_heads",
+                "extractor_mode", "final_dim", "latent_vars",
+                "latent_groups"):
+        if key in model_cfg and key not in kw:
+            kw[key] = model_cfg[key]
+    cfg = Wav2Vec2Config(**kw)
+
+    params = import_wav2vec2_params(sd, cfg, encoder_type=args.encoder_type,
+                                    prefix=args.prefix)
+    n = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(params))
+    mgr = CheckpointManager(args.out, keep_last=0)
+    mgr.save(0, {"params": params, "cfg": {}},
+             extra={"source": args.pt})
+    print(f"converted {args.pt} -> {args.out} ({n/1e6:.1f}M params)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
