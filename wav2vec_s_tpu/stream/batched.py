@@ -319,8 +319,13 @@ class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
                 blank, pad = vocab.bos(), vocab.pad()
                 mask = jnp.arange(t_cap)[None, :] >= visible[:, None]
 
-                def body(i, carry):
-                    prefixes, lens, blocked = carry
+                def cond(carry):
+                    prefixes, lens, blocked, i = carry
+                    # early exit once every stream has emitted blank
+                    return (i < max_emit) & ~jnp.all(blocked)
+
+                def body(carry):
+                    prefixes, lens, blocked, i = carry
                     lp = model.apply(
                         {"params": params}, prefixes, lens, out_cache, mask,
                         method=type(model).decode_step)
@@ -332,11 +337,12 @@ class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
                         jnp.where(emit, tok.astype(prefixes.dtype),
                                   prefixes[jnp.arange(n), lens]))
                     lens = lens + emit.astype(lens.dtype)
-                    return prefixes, lens, blocked | ~emit
+                    return prefixes, lens, blocked | ~emit, i + 1
 
                 blocked = jnp.zeros(prefixes.shape[0], bool)
-                prefixes, lens, _ = jax.lax.fori_loop(
-                    0, max_emit, body, (prefixes, lens, blocked))
+                prefixes, lens, _, _ = jax.lax.while_loop(
+                    cond, body,
+                    (prefixes, lens, blocked, jnp.zeros((), jnp.int32)))
                 return prefixes, lens
 
             def fused(params, estate, prefixes, lens, windows):
@@ -480,8 +486,13 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
         def greedy(params, prefixes, lens, jk, jv, visible):
             blank, pad = vocab.bos(), vocab.pad()
 
-            def body(i, carry):
-                prefixes, lens, blocked = carry
+            def cond(carry):
+                prefixes, lens, blocked, i = carry
+                # early exit once every stream has emitted blank
+                return (i < max_emit) & ~jnp.all(blocked)
+
+            def body(carry):
+                prefixes, lens, blocked, i = carry
                 h_last = lm_last(params, prefixes, lens)
                 lp = jointer_cached(params, h_last, jk, jv, visible)
                 lp = lp.at[:, pad].set(-jnp.inf)
@@ -492,11 +503,12 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                     jnp.where(emit, tok.astype(prefixes.dtype),
                               prefixes[jnp.arange(n), lens]))
                 lens = lens + emit.astype(lens.dtype)
-                return prefixes, lens, blocked | ~emit
+                return prefixes, lens, blocked | ~emit, i + 1
 
             blocked = jnp.zeros(prefixes.shape[0], bool)
-            prefixes, lens, _ = jax.lax.fori_loop(
-                0, max_emit, body, (prefixes, lens, blocked))
+            prefixes, lens, _, _ = jax.lax.while_loop(
+                cond, body,
+                (prefixes, lens, blocked, jnp.zeros((), jnp.int32)))
             return prefixes, lens
 
         def fused(params, estate, jk, jv, prefixes, lens, windows):
