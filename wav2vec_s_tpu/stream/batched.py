@@ -186,7 +186,7 @@ class IncrementalGreedyDecoder:
     """
 
     def __init__(self, model, params, vocab, w2v_cfg, max_len=200,
-                 max_emit_per_chunk=8, t_cap=2048):
+                 max_emit_per_chunk=8, t_cap=2048, blocks_per_step=1):
         from wav2vec_s_tpu.stream.incremental import (
             IncrementalBlockwiseEncoder)
 
@@ -198,9 +198,11 @@ class IncrementalGreedyDecoder:
         self.mc = w2v_cfg.main_context
         self.rc = w2v_cfg.right_context
         self.t_cap = t_cap
+        self.blocks_per_step = blocks_per_step
         self._n_streams = None
         self._enc_factory = lambda n: IncrementalBlockwiseEncoder(
-            w2v_cfg, params["encoder"], n, t_cap=t_cap)
+            w2v_cfg, params["encoder"], n, t_cap=t_cap,
+            blocks_per_step=blocks_per_step)
 
         @jax.jit
         def _greedy(params, prefixes, lens, finished, out_cache, visible,
@@ -243,7 +245,7 @@ class IncrementalGreedyDecoder:
         for i, w in enumerate(wavs):
             audio[i, :len(w)] = w
         total_frames = (max_samples - enc.rf) // hop + 1
-        n_chunks = max((total_frames - self.rc) // self.mc, 1)
+        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
 
         estate = enc.init()
         prefixes = np.full((N, self.max_len + 1), self.vocab.pad(), np.int32)
@@ -261,7 +263,7 @@ class IncrementalGreedyDecoder:
         lens_history = []
         consumed = []
         for k in range(n_chunks):
-            start = k * self.mc * hop
+            start = k * enc.n_main * hop
             flush = k == n_chunks - 1
             estate = enc.step(estate, audio[:, start:start + W], flush=flush)
             visible = (estate.t_main * jnp.ones((N,), jnp.int32))
@@ -304,10 +306,10 @@ class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
         for i, w in enumerate(wavs):
             audio[i, :len(w)] = w
         total_frames = (max_samples - enc.rf) // hop + 1
-        n_chunks = max((total_frames - self.rc) // self.mc, 1)
+        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
 
-        windows = np.stack([audio[:, k * self.mc * hop:
-                                  k * self.mc * hop + W]
+        windows = np.stack([audio[:, k * enc.n_main * hop:
+                                  k * enc.n_main * hop + W]
                             for k in range(n_chunks)])     # [K, N, W]
 
         if not hasattr(self, "_fused"):
@@ -380,7 +382,7 @@ class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
         delays = [[] for _ in range(N)]
         prev = np.ones(N, np.int32)
         for k in range(n_chunks):
-            ms = (k * self.mc * enc.hop + W) / 16.0
+            ms = (k * enc.n_main * enc.hop + W) / 16.0
             for i in range(N):
                 delays[i].extend([ms] * int(lens_all[k, i] - prev[i]))
             prev = lens_all[k]
@@ -419,9 +421,9 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
         for i, w in enumerate(wavs):
             audio[i, :len(w)] = w
         total_frames = (max_samples - enc.rf) // hop + 1
-        n_chunks = max((total_frames - self.rc) // self.mc, 1)
-        windows = np.stack([audio[:, k * self.mc * hop:
-                                  k * self.mc * hop + W]
+        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
+        windows = np.stack([audio[:, k * enc.n_main * hop:
+                                  k * enc.n_main * hop + W]
                             for k in range(n_chunks)])
 
         model, vocab = self.model, self.vocab
@@ -517,7 +519,7 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 t0 = estate.t_main
                 estate = enc.step_fn(params["encoder"], estate, win)
                 x_new = jax.lax.dynamic_slice_in_dim(
-                    estate.out_cache, t0, mc, axis=1)
+                    estate.out_cache, t0, enc.n_main, axis=1)
                 k_new, v_new = build_joint_kv(params, x_new)
                 jk = jax.lax.dynamic_update_slice_in_dim(jk, k_new, t0,
                                                          axis=2)
@@ -535,7 +537,7 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
             t0 = estate.t_main
             estate = enc.flush_fn(params["encoder"], estate, windows[-1])
             x_new = jax.lax.dynamic_slice_in_dim(estate.out_cache, t0,
-                                                 mc + rc, axis=1)
+                                                 enc.n_main + rc, axis=1)
             k_new, v_new = build_joint_kv(params, x_new)
             jk = jax.lax.dynamic_update_slice_in_dim(jk, k_new, t0, axis=2)
             jv = jax.lax.dynamic_update_slice_in_dim(jv, v_new, t0, axis=2)

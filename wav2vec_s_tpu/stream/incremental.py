@@ -64,21 +64,25 @@ def _ln(p, x):
 class IncrementalBlockwiseEncoder:
     """Binds a Wav2Vec2 param tree to the jitted incremental step."""
 
-    def __init__(self, w2v_cfg, params, n_streams: int, t_cap: int = 2048):
+    def __init__(self, w2v_cfg, params, n_streams: int, t_cap: int = 2048,
+                 blocks_per_step: int = 1):
         assert w2v_cfg.extractor_mode == "layer_norm", (
             "incremental streaming needs the stateless (layer-norm) conv "
             "front-end; 'default' group-norm normalizes over time")
-        assert not w2v_cfg.layer_norm_first or True
         self.cfg = w2v_cfg
         self.params = params          # the Wav2Vec2Model subtree
         self.n = n_streams
         self.t_cap = t_cap
         self.mc = w2v_cfg.main_context
         self.rc = w2v_cfg.right_context
+        # DECISION_STEP: blocks advanced per step (reference
+        # --step-read-blocks); raises per-chunk arithmetic intensity
+        self.blocks = blocks_per_step
+        self.n_main = self.mc * blocks_per_step
         rf, hop = conv_receptive_stride(w2v_cfg.conv_feature_layers)
         self.hop, self.rf = hop, rf
-        # samples covering frames [t, t + mc + rc)
-        self.window = (self.mc + self.rc - 1) * hop + rf
+        # samples covering frames [t, t + n_main + rc)
+        self.window = (self.n_main + self.rc - 1) * hop + rf
         self._conv = ConvFeatureExtractor(
             conv_layers=w2v_cfg.conv_feature_layers,
             mode=w2v_cfg.extractor_mode,
@@ -96,16 +100,35 @@ class IncrementalBlockwiseEncoder:
     # -- the step ------------------------------------------------------
     def _make_step(self, flush: bool):
         c = self.cfg
-        mc, rc = self.mc, self.rc
-        n_new = mc + rc               # frames computed per step
-        n_keep = n_new if flush else mc
+        mc, rc, B_s = self.mc, self.rc, self.blocks
+        n_main = self.n_main
+        n_frames = n_main + rc        # conv frames needed per step
+        # row layout: [main frames (n_main); copies of block j = frames
+        # [(j+1)mc, (j+1)mc+rc) for j = 0..B_s-1] — block j's look-ahead,
+        # processed with block-j context (the training-mask semantics)
+        copy_src = np.concatenate(
+            [np.arange((j + 1) * mc, (j + 1) * mc + rc)
+             for j in range(B_s)]) if rc else np.zeros(0, np.int64)
+        n_rows = n_main + B_s * rc
+        row_block = np.concatenate(
+            [np.arange(n_main) // mc, np.repeat(np.arange(B_s), rc)])
+        key_is_copy = np.concatenate(
+            [np.zeros(n_main, bool), np.ones(B_s * rc, bool)])
+        # intra-chunk visibility: main keys blk<=q, copy keys blk==q
+        allowed = np.where(
+            key_is_copy[None, :],
+            row_block[:, None] == row_block[None, :],
+            row_block[:, None] >= row_block[None, :])
+        intra_bias = np.where(allowed, 0.0, -1e4).astype(np.float32)
+        row_pos = np.concatenate([np.arange(n_main), copy_src])
+        n_keep = n_main + rc if flush else n_main
 
         def step(params, state: IncrementalEncoderState, window):
             """window: [N, W] raw samples covering frames
-            [t_main, t_main + mc + rc)."""
+            [t_main, t_main + n_main + rc)."""
             feats = self._conv.apply(
                 {"params": params["feature_extractor"]}, window)
-            feats = feats[:, :n_new]
+            feats = feats[:, :n_frames]
             feats = _ln(params["layer_norm"], feats)
             if "post_extract_proj" in params:
                 feats = _dense(params["post_extract_proj"], feats)
@@ -113,19 +136,27 @@ class IncrementalBlockwiseEncoder:
             enc_p = params["encoder"]
             # positions: global frame index + fairseq offset
             pos = jax.lax.dynamic_slice_in_dim(
-                self._table, state.t_main + POS_OFFSET, n_new, 0)
-            x = feats + pos[None].astype(feats.dtype)
+                self._table, state.t_main + POS_OFFSET, n_frames, 0)
+            feats = feats + pos[None].astype(feats.dtype)
             if not c.layer_norm_first:
-                x = _ln(enc_p["layer_norm"], x)
+                feats = _ln(enc_p["layer_norm"], feats)
+            # assemble chunk rows: main frames + per-block look-ahead copies
+            if rc:
+                x = jnp.concatenate(
+                    [feats[:, :n_main],
+                     feats[:, jnp.asarray(copy_src)]], axis=1)
+            else:
+                x = feats[:, :n_main]
 
             t0 = state.t_main
-            # key visibility: cached frames < t0, plus the whole chunk
+            # key visibility: cached frames < t0, plus the intra-chunk mask
             cache_vis = (jnp.arange(self.t_cap)[None, :]
                          < t0)                              # [1, T_cap]
             bias_cache = jnp.where(cache_vis, 0.0, MASK_VALUE)
+            bias_cache = jnp.broadcast_to(bias_cache, (n_rows, self.t_cap))
             bias = jnp.concatenate(
-                [bias_cache, jnp.zeros((1, n_new))], axis=1)  # [1, T_cap+new]
-            bias = bias[None, None]                         # [1,1,1,K]
+                [bias_cache, jnp.asarray(intra_bias)], axis=1)
+            bias = bias[None, None]                         # [1,1,R,K]
 
             H = c.encoder_attention_heads
             D = c.encoder_embed_dim
@@ -157,13 +188,19 @@ class IncrementalBlockwiseEncoder:
                 o = o.transpose(0, 2, 1, 3).reshape(x.shape)
                 h = _dense(att["out_proj"], o)
 
-                # cache the main frames' K/V for this layer
+                # cache the main frames' K/V (+ final look-ahead at flush)
+                if flush and rc:
+                    keep_k = jnp.concatenate(
+                        [k_new[:, :n_main], k_new[:, n_rows - rc:]], axis=1)
+                    keep_v = jnp.concatenate(
+                        [v_new[:, :n_main], v_new[:, n_rows - rc:]], axis=1)
+                else:
+                    keep_k = k_new[:, :n_keep]
+                    keep_v = v_new[:, :n_keep]
                 new_k = new_k.at[i].set(jax.lax.dynamic_update_slice_in_dim(
-                    new_k[i], k_new[:, :n_keep].astype(new_k.dtype), t0,
-                    axis=1))
+                    new_k[i], keep_k.astype(new_k.dtype), t0, axis=1))
                 new_v = new_v.at[i].set(jax.lax.dynamic_update_slice_in_dim(
-                    new_v[i], v_new[:, :n_keep].astype(new_v.dtype), t0,
-                    axis=1))
+                    new_v[i], keep_v.astype(new_v.dtype), t0, axis=1))
 
                 if c.layer_norm_first:
                     raise NotImplementedError(
@@ -173,8 +210,13 @@ class IncrementalBlockwiseEncoder:
                     _dense(lp["fc1"], x), approximate=False))
                 x = _ln(lp["final_layer_norm"], x + hf)
 
+            if flush and rc:
+                commit = jnp.concatenate(
+                    [x[:, :n_main], x[:, n_rows - rc:]], axis=1)
+            else:
+                commit = x[:, :n_keep]
             out_cache = jax.lax.dynamic_update_slice_in_dim(
-                state.out_cache, x[:, :n_keep].astype(state.out_cache.dtype),
+                state.out_cache, commit.astype(state.out_cache.dtype),
                 t0, axis=1)
             new_state = IncrementalEncoderState(
                 k_cache=new_k, v_cache=new_v, out_cache=out_cache,
