@@ -108,3 +108,37 @@ def test_multiblock_chunks_match_full_encode():
     assert t == K * B_s * mc + rc
     got = np.asarray(state.out_cache)[:, :t]
     np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)
+
+
+def test_pre_ln_incremental_matches_full_encode():
+    """The large-config (pre-LN) layer ordering through the incremental
+    path."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY, layer_norm_first=True)
+    mc, rc = cfg.main_context, cfg.right_context
+    model = Wav2Vec2Model(cfg, encoder_type="blockwise")
+    from wav2vec_s_tpu.models.feature_extractor import conv_receptive_stride
+    rf, hop = conv_receptive_stride(cfg.conv_feature_layers)
+    N, K = 1, 4
+    n_samples = (K * mc + rc - 1) * hop + rf
+    audio = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (N, n_samples)), np.float32)
+    variables = model.init(_rngs(), jnp.asarray(audio),
+                           jnp.zeros((N, 2), jnp.int32), 0, train=False)
+    full, _ = model.apply(variables, jnp.asarray(audio),
+                          method=Wav2Vec2Model.extract_features,
+                          main_context=mc, right_context=rc)
+    full = np.asarray(full)
+
+    enc = IncrementalBlockwiseEncoder(cfg, variables["params"], N, t_cap=64)
+    state = enc.init()
+    W = enc.window
+    for k in range(K):
+        start = k * mc * hop
+        win = audio[:, start:start + W]
+        if win.shape[1] < W:
+            win = np.pad(win, ((0, 0), (0, W - win.shape[1])))
+        state = enc.step(state, win, flush=(k == K - 1))
+    t = int(state.t_main)
+    got = np.asarray(state.out_cache)[:, :t]
+    np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)

@@ -167,9 +167,13 @@ class IncrementalBlockwiseEncoder:
             for i in range(c.encoder_layers):
                 lp = enc_p["layers"][f"layer_{i}"]
                 att = lp["self_attn"]
-                q = _dense(att["q_proj"], x) * (Dh ** -0.5)
-                k_new = _dense(att["k_proj"], x)
-                v_new = _dense(att["v_proj"], x)
+                # pre-LN (large config): project Q/K/V from LN(x); post-LN:
+                # from x directly (wav2vec2.py:934-978 two orderings)
+                h_in = (_ln(lp["self_attn_layer_norm"], x)
+                        if c.layer_norm_first else x)
+                q = _dense(att["q_proj"], h_in) * (Dh ** -0.5)
+                k_new = _dense(att["k_proj"], h_in)
+                v_new = _dense(att["v_proj"], h_in)
                 k_all = jnp.concatenate(
                     [state.k_cache[i].astype(x.dtype), k_new], axis=1)
                 v_all = jnp.concatenate(
@@ -203,18 +207,24 @@ class IncrementalBlockwiseEncoder:
                     new_v[i], keep_v.astype(new_v.dtype), t0, axis=1))
 
                 if c.layer_norm_first:
-                    raise NotImplementedError(
-                        "pre-LN incremental path lands with the large config")
-                x = _ln(lp["self_attn_layer_norm"], x + h)
-                hf = _dense(lp["fc2"], jax.nn.gelu(
-                    _dense(lp["fc1"], x), approximate=False))
-                x = _ln(lp["final_layer_norm"], x + hf)
+                    x = x + h
+                    hf = _dense(lp["fc2"], jax.nn.gelu(
+                        _dense(lp["fc1"], _ln(lp["final_layer_norm"], x)),
+                        approximate=False))
+                    x = x + hf
+                else:
+                    x = _ln(lp["self_attn_layer_norm"], x + h)
+                    hf = _dense(lp["fc2"], jax.nn.gelu(
+                        _dense(lp["fc1"], x), approximate=False))
+                    x = _ln(lp["final_layer_norm"], x + hf)
 
+            x_out = (_ln(enc_p["layer_norm"], x) if c.layer_norm_first
+                     else x)   # pre-LN: the post-stack norm (wav2vec2.py:869)
             if flush and rc:
                 commit = jnp.concatenate(
-                    [x[:, :n_main], x[:, n_rows - rc:]], axis=1)
+                    [x_out[:, :n_main], x_out[:, n_rows - rc:]], axis=1)
             else:
-                commit = x[:, :n_keep]
+                commit = x_out[:, :n_keep]
             out_cache = jax.lax.dynamic_update_slice_in_dim(
                 state.out_cache, commit.astype(state.out_cache.dtype),
                 t0, axis=1)
