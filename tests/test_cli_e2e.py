@@ -170,3 +170,9 @@ caat:
     ecli.main(["average", "--ckpt-dir", str(tmp_path / "ckpt_caat"),
                "--k", "1", "--out", str(tmp_path / "avg.npz")])
     assert (tmp_path / "avg.npz").exists()
+
+    # batched throughput decode path
+    ecli.main(["batch-decode"] + common + ["--step-read-blocks", "1"])
+    bd_out = capsys.readouterr().out.strip().splitlines()[-1]
+    bd = json.loads(bd_out)
+    assert "audio_sec_per_sec" in bd and bd["n"] == 2

@@ -111,6 +111,46 @@ def cmd_simul(args):
     print(json.dumps(scores))
 
 
+def cmd_batch_decode(args):
+    """Batched greedy streaming decode over the O(T) incremental encoder —
+    the throughput path (one fused device call per corpus batch)."""
+    from wav2vec_s_tpu.data import read_s2t_manifest
+    from wav2vec_s_tpu.data.audio import read_audio
+    from wav2vec_s_tpu.eval.bleu import corpus_bleu
+    from wav2vec_s_tpu.eval.wer import corpus_wer
+    from wav2vec_s_tpu.stream.batched import FusedIncrementalGreedyDecoder
+    from wav2vec_s_tpu.stream.latency import average_lagging
+    from wav2vec_s_tpu.train.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    model, tgt_dict, model_cfg, caat_cfg = _build_caat(cfg)
+    params = _load_params(args.ckpt_dir, args.average_k)
+    dec = FusedIncrementalGreedyDecoder(
+        model, params, tgt_dict, model_cfg,
+        max_emit_per_chunk=4 * args.step_read_blocks,
+        blocks_per_step=args.step_read_blocks)
+    man = read_s2t_manifest(args.manifest, cfg.data.audio_root)
+    n = min(len(man.ids), args.max_instances or len(man.ids))
+    wavs = [read_audio(man.audio_paths[i]) for i in range(n)]
+    refs = [man.tgt_texts[i] if args.metric == "bleu"
+            else (man.src_texts[i] or man.tgt_texts[i]) for i in range(n)]
+    import time
+    t0 = time.time()
+    hyps, delays = dec.decode_corpus(wavs)
+    dt = time.time() - t0
+    audio_sec = sum(len(w) for w in wavs) / 16000.0
+    al = [average_lagging(d, len(w) / 16.0, max(len(r.split()), 1))
+          for d, w, r in zip(delays, wavs, refs) if d]
+    quality = (corpus_bleu(hyps, refs) if args.metric == "bleu"
+               else corpus_wer(hyps, refs))
+    print(json.dumps({
+        args.metric.upper(): quality,
+        "AL": float(np.mean(al)) if al else 0.0,
+        "audio_sec_per_sec": round(audio_sec / dt, 1),
+        "n": n,
+    }))
+
+
 def cmd_generate(args):
     from wav2vec_s_tpu.data import read_s2t_manifest
     from wav2vec_s_tpu.data.audio import read_audio
@@ -178,12 +218,15 @@ def main(argv=None):
     common(ps)
     pg = sub.add_parser("generate")
     common(pg)
+    pb = sub.add_parser("batch-decode")
+    common(pb)
 
     args = p.parse_args(argv)
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
     {"average": cmd_average, "simul": cmd_simul,
-     "generate": cmd_generate}[args.cmd](args)
+     "generate": cmd_generate,
+     "batch-decode": cmd_batch_decode}[args.cmd](args)
 
 
 if __name__ == "__main__":
