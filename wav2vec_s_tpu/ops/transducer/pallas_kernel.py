@@ -104,3 +104,74 @@ def pallas_alphas(lp_blank, lp_emit, interpret: bool = False):
         interpret=interpret,
     )(pad(lpb_prev), pad(ecum))
     return out[:, :T, :U]
+
+
+def pallas_betas(lp_blank, lp_emit, act_lens, label_lens,
+                 interpret: bool = False):
+    """Backward lattice scores with ``analytic._betas`` semantics, computed
+    by running the alphas kernel on the time/label-flipped lattice.
+
+    Derivation: with gamma(t', u') = beta(T-1-t', U-1-u') the beta recursion
+    becomes exactly the alphas recursion with blank rows = flip(lp_b_eff)
+    (the kernel's internal one-row shift supplies blank(t-1)) and emission
+    edges = flip(lp_e_eff).  The first gamma row (beta at t = T-1 on the
+    virtually-extended lattice) is a single emission chain from the final
+    cell — injected through the kernel's row-0 convention (alpha(0, u) =
+    ecum(0, u)) as lane differences, with its cell-0 value re-added outside.
+    """
+    from wav2vec_s_tpu.ops.transducer.analytic import BLOCK, _lattice_masks
+
+    B, T, U = lp_blank.shape
+    t_valid, emit_ok = _lattice_masks((B, T, U), act_lens, label_lens)
+    lp_e_eff = jnp.where(emit_ok, lp_emit, BLOCK)
+    lp_b_eff = jnp.where(t_valid[:, :, None], lp_blank, 0.0)
+
+    u_idx = jnp.arange(U)[None, :]
+    # per-sample lane roll: after flipping, a padded sample's valid lanes
+    # start at U-1-U_b; roll them to lane 0 so BLOCKed emits stay in the
+    # lane *suffix* (the prefix-LSE identity needs finite prefix emits)
+    shift = (U - 1 - label_lens)[:, None]                      # [B, 1]
+
+    def roll_left(x, sh):
+        idx = (jnp.arange(U)[None, :] + sh) % U
+        if x.ndim == 3:
+            return jnp.take_along_axis(x, idx[:, None, :], axis=2)
+        return jnp.take_along_axis(x, idx, axis=1)
+
+    def roll_right(x, sh):
+        idx = (jnp.arange(U)[None, :] - sh) % U
+        return jnp.take_along_axis(x, idx[:, None, :], axis=2)
+    # top row of the (virtually-extended) lattice: a pure emission chain
+    # ending at the final cell (T_pad-1 row; pass-through blanks above T_b)
+    lpb_top = jnp.take_along_axis(
+        lp_b_eff[:, -1, :], label_lens[:, None], axis=1)       # [B, 1]
+    # suffix sums of emit lps on the top row: sum_{j=u}^{U_b-1} emit(T-1, j)
+    e_top = jnp.where(u_idx < label_lens[:, None], lp_e_eff[:, -1, :], 0.0)
+    suffix = (jnp.cumsum(e_top[:, ::-1], axis=1)[:, ::-1]
+              - 0.0)
+    beta_top = jnp.where(u_idx <= label_lens[:, None],
+                         lpb_top + suffix, 0.0)                # garbage -> 0
+    gamma0 = roll_left(beta_top[:, ::-1], shift)               # flipped+rolled
+
+    offset = gamma0[:, :1]                                     # gamma0(0)
+    gamma0_c = gamma0 - offset
+    row0_diff = gamma0_c[:, 1:] - gamma0_c[:, :-1]             # [B, U-1]
+    emit_row0 = jnp.pad(row0_diff, ((0, 0), (0, 1)))           # col U-1 unused
+
+    # gamma edge j -> j+1 is the beta emit edge into cell U-2-j: the flipped
+    # emit lps shift by one lane (the kernel's last column is unused)
+    emit_f = jnp.flip(lp_e_eff, axis=(1, 2))
+    emit_rows = jnp.pad(emit_f[:, 1:, 1:], ((0, 0), (0, 0), (0, 1)),
+                        constant_values=BLOCK)
+    emit_rows = roll_left(emit_rows, shift)
+    emit_kernel = jnp.concatenate(
+        [emit_row0[:, None, :], emit_rows], axis=1)
+    # gamma's blank term at row t' is lpb'(T-1-t') = flip[t']; the kernel
+    # consumes input[t-1] for row t, so shift the flipped rows up by one
+    blank_f = roll_left(jnp.flip(lp_b_eff, axis=(1, 2)), shift)
+    blank_kernel = jnp.concatenate(
+        [blank_f[:, 1:], jnp.zeros_like(blank_f[:, :1])], axis=1)
+
+    gamma = pallas_alphas(blank_kernel, emit_kernel, interpret=interpret)
+    gamma = roll_right(gamma, shift)
+    return jnp.flip(gamma, axis=(1, 2)) + offset[:, None, :]
