@@ -141,3 +141,31 @@ def test_tensor_parallel_matches_replicated():
     for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_zero_sharded_optimizer_state_matches():
+    """ZeRO-1: sharding adam moments over the data axis must not change the
+    update, and the new state must stay sharded."""
+    from wav2vec_s_tpu.parallel.sharding import shard_opt_state
+
+    mesh = make_mesh()
+    model, state, batch, opt = _make_state_and_batch(B=8)
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+    step = jax.jit(make_train_step(loss_fn, opt))
+    rng = jax.random.PRNGKey(0)
+
+    ref_state, _ = step(state, batch, rng)
+
+    zstate = TrainState.create(state.params, opt)
+    zstate = zstate.replace(opt_state=shard_opt_state(zstate.opt_state, mesh))
+    new_state, _ = step(zstate, shard_batch(mesh, batch), rng)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # at least one moment leaf is actually sharded across devices
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(new_state.opt_state)
+        if hasattr(l, "sharding") and not l.sharding.is_fully_replicated
+        and l.ndim >= 1
+    ]
+    assert sharded, "no optimizer-state leaf ended up sharded"

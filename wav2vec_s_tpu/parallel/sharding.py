@@ -57,3 +57,26 @@ def param_shardings(params: Any, mesh: Mesh):
 def shard_params(params: Any, mesh: Mesh):
     shardings = param_shardings(params, mesh)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def zero_shardings(opt_state: Any, mesh: Mesh):
+    """ZeRO-1 style sharding for optimizer state (fairscale OSS /
+    ``optim/shard.py`` + FSDP-state analogue): moment tensors shard their
+    leading dim over the ``data`` axis where divisible, everything else
+    (scalar counts, small leaves) replicated.  Under SPMD the update runs on
+    the sharded state and XLA inserts the gathers — per-device optimizer
+    memory drops by the data-parallel width."""
+    n_data = mesh.shape.get(AXES.data, 1)
+
+    def one(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] % n_data == 0 and leaf.size >= n_data):
+            return NamedSharding(mesh, P(AXES.data))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(one, opt_state)
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh):
+    return jax.tree_util.tree_map(jax.device_put, opt_state,
+                                  zero_shardings(opt_state, mesh))
