@@ -82,3 +82,32 @@ def test_analytic_grad_matches_autodiff_batched(rng):
     # padded cells carry no gradient
     assert (g1[1, al[1]:] == 0).all()
     assert (g1[2, :, tl[2] + 1:] == 0).all()
+
+
+def test_gradient_temperature_smoothing(rng):
+    """temperature=1 is exact; temperature<1 flattens the prob gradient
+    while leaving the forward and the delay gradient untouched."""
+    acts, labels, al, tl = make_batch(rng, B=2, T=5, U=3, V=6)
+    dv = rng.random(acts.shape[:3]).astype(np.float32)
+    args = (jnp.asarray(labels), jnp.asarray(al), jnp.asarray(tl),
+            jnp.asarray(dv))
+
+    def grad_at(temp, which):
+        def f(a):
+            t, p, d = delay_transducer_loss_vjp(a, *args, 1.0, 0, temp)
+            return (jnp.sum(p) if which == "prob" else jnp.sum(d))
+        return np.asarray(jax.grad(f)(jnp.asarray(acts)))
+
+    g1 = grad_at(1.0, "prob")
+    g_auto = grad_at(1.0, "prob")  # determinism sanity
+    np.testing.assert_allclose(g1, g_auto)
+    gs = grad_at(0.5, "prob")
+    assert np.abs(gs - g1).max() > 1e-4  # smoothing changes the gradient
+    # forward values identical across temperatures
+    t1 = delay_transducer_loss_vjp(jnp.asarray(acts), *args, 1.0, 0, 1.0)[0]
+    t2 = delay_transducer_loss_vjp(jnp.asarray(acts), *args, 1.0, 0, 0.5)[0]
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2))
+    # delay gradient unaffected by temperature
+    d1 = grad_at(1.0, "delay")
+    d2 = grad_at(0.5, "delay")
+    np.testing.assert_allclose(d1, d2, atol=1e-6)

@@ -44,6 +44,7 @@ class CaatConfig:
     # loss
     delay_scale: float = 1.0
     delay_func: str = "diag_positive"
+    transducer_temperature: float = 1.0   # gradient smoothing (1.0 = exact)
     transducer_label_smoothing: float = 0.1
     transducer_ce_scale: float = 1.0
     tokens_per_step: int = 6000

@@ -165,7 +165,8 @@ def caat_loss(joint_h, embed_or_proj, targets, group_lens, tgt_lens, cfg: CaatCo
         # analytic backward (betas + closed-form grad, like the reference's
         # fused CUDA kernel) instead of autodiff through the forward scans
         total, lp, ld = delay_transducer_loss_vjp(
-            logits, tgc, glc, tlc, dv, cfg.delay_scale, cfg.bos)
+            logits, tgc, glc, tlc, dv, cfg.delay_scale, cfg.bos,
+            cfg.transducer_temperature)
         # label-smoothed CE on the last valid source group (full context)
         bi = jnp.arange(hc.shape[0])
         last_h = hc[bi, glc - 1][:, :-1]                      # [b, U, D]

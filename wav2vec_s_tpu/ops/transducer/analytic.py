@@ -24,9 +24,9 @@ NOTE: the reference gradient kernel indexes ``delay_values[mb*maxT + t]``
 ``[b, t, u]`` layout; this implementation uses the consistent ``dv(t, u+1)``
 on the emit edge and matches finite differences of its own forward.
 
-The gradient-smoothing ``temperature`` of the reference's smooth kernel is
-not implemented (the published recipes use temperature=1.0, where the smooth
-kernel reduces to the exact gradient).
+``temperature`` reproduces the reference's gradient-smoothing variant
+(compute_grad_withdelay_smooth_kernel); at the recipes' default 1.0 it is
+the exact gradient.
 """
 
 from __future__ import annotations
@@ -118,11 +118,18 @@ def _expected_delay_bwd(lp_blank, lp_emit, betas, beta_down, beta_up,
     return bd, dv_edge
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def delay_transducer_loss_vjp(acts, labels, act_lens, label_lens,
                               delay_values, delay_scale: float = 1.0,
-                              blank: int = 0):
-    """(total, prob, delay) per utterance — analytic-gradient version."""
+                              blank: int = 0, temperature: float = 1.0):
+    """(total, prob, delay) per utterance — analytic-gradient version.
+
+    ``temperature`` != 1 applies the reference's gradient smoothing
+    (compute_grad_withdelay_smooth_kernel, gpu_rnnt_kernel.h:364-424): the
+    probability-loss gradient's path posteriors are raised to the power
+    ``temperature`` (the forward value and the delay gradient are
+    unaffected).  Not a true gradient of any loss unless temperature == 1.
+    """
     total, prob, delay, _ = _fwd_impl(acts, labels, act_lens, label_lens,
                                       delay_values, delay_scale, blank)
     return total, prob, delay
@@ -143,14 +150,14 @@ def _fwd_impl(acts, labels, act_lens, label_lens, delay_values,
 
 
 def _vjp_fwd(acts, labels, act_lens, label_lens, delay_values,
-             delay_scale, blank):
+             delay_scale, blank, temperature=1.0):
     total, prob, delay, res = _fwd_impl(acts, labels, act_lens, label_lens,
                                         delay_values, delay_scale, blank)
     saved = (acts, labels, act_lens, label_lens, delay_values) + res
     return (total, prob, delay), saved
 
 
-def _vjp_bwd(delay_scale, blank, saved, cots):
+def _vjp_bwd(delay_scale, blank, temperature, saved, cots):
     (acts, labels, act_lens, label_lens, delay_values,
      lp_blank, lp_emit, alphas, ll, ad, delay) = saved
     ct, cp, cd = cots
@@ -184,9 +191,15 @@ def _vjp_bwd(delay_scale, blank, saved, cots):
 
     # dP/da = p_v*occ - [b]e_b - [y]e_y ;  dE/da = [b]e_b c0 + [y]e_y c1
     # - p_v*(e_b c0 + e_y c1)  -> combine with opposite signs on the delay part
-    s_pv = w_prob * occ - w_delay * (e_b * c0 + e_y * c1)
-    s_b = w_prob * e_b - w_delay * e_b * c0
-    s_y = w_prob * e_y - w_delay * e_y * c1
+    if temperature != 1.0:
+        # smoothing: prob-part posteriors ^ temperature (delay part exact)
+        t = temperature
+        occ_p, e_b_p, e_y_p = occ ** t, e_b ** t, e_y ** t
+    else:
+        occ_p, e_b_p, e_y_p = occ, e_b, e_y
+    s_pv = w_prob * occ_p - w_delay * (e_b * c0 + e_y * c1)
+    s_b = w_prob * e_b_p - w_delay * e_b * c0
+    s_y = w_prob * e_y_p - w_delay * e_y * c1
 
     probs = jax.nn.softmax(acts.astype(jnp.float32), axis=-1)
     lab_onehot = jax.nn.one_hot(labels, V, dtype=probs.dtype)
