@@ -40,16 +40,16 @@ class BatchedStreamState:
 class BatchedGreedyStreamingDecoder:
     def __init__(self, model, params, vocab, main_context=16,
                  right_context=8, max_len=200, max_emit_per_chunk=8,
-                 audio_buckets=None):
+                 audio_buckets=None, hop=320):
         self.model = model
         self.params = params
         self.vocab = vocab
         self.mc, self.rc = main_context, right_context
         self.max_len = max_len
         self.max_emit = max_emit_per_chunk
-        hop = 320
+        self.hop = hop
         if audio_buckets is None:
-            step = self.mc * hop
+            step = self.mc * self.hop
             audio_buckets = [step * i for i in range(1, 26)]
             v = audio_buckets[-1]
             while v < 60 * 16000:
@@ -142,7 +142,7 @@ class BatchedGreedyStreamingDecoder:
 
         ``chunk_frames`` — new frames per policy step (default mc)."""
         N = len(wavs)
-        hop = 320
+        hop = self.hop
         chunk = (chunk_frames or self.mc) * hop
         max_samples = max(len(w) for w in wavs)
         audio = np.zeros((N, max_samples), np.float32)
@@ -199,7 +199,6 @@ class IncrementalGreedyDecoder:
         self.rc = w2v_cfg.right_context
         self.t_cap = t_cap
         self.blocks_per_step = blocks_per_step
-        self._n_streams = None
         self._enc_factory = lambda n: IncrementalBlockwiseEncoder(
             w2v_cfg, params["encoder"], n, t_cap=t_cap,
             blocks_per_step=blocks_per_step)
@@ -551,8 +550,6 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
             self._fused_cached = jax.jit(fused)
 
         estate = enc.init()
-        dt = self.params["embed_tokens"].dtype if hasattr(
-            self.params["embed_tokens"], "dtype") else jnp.float32
         cdtype = estate.out_cache.dtype
         jk = jnp.zeros((L_j, N, t_cap, D), cdtype)
         jv = jnp.zeros((L_j, N, t_cap, D), cdtype)

@@ -21,8 +21,6 @@ tests/test_incremental.py.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
