@@ -1,12 +1,19 @@
-"""Benchmark: streaming blockwise encode throughput on one TPU chip.
+"""Benchmark: full streaming agent path throughput on one TPU chip.
 
-Measures audio-seconds processed per wall-clock second through the wav2vec-S
-Base blockwise encoder (bf16, mc=16/rc=8 — the published streaming config),
-the dominant compute of both training and the streaming agent.  North star
-(BASELINE.json): >= 500 streamed audio-sec/s/chip through the full agent
-path; this benchmark tracks the encoder leg.
+Headline metric (the north star, BASELINE.md): streamed audio-seconds
+processed per wall-clock second through the FULL agent path — incremental
+blockwise encode + cached jointer/LM greedy transducer decode — for the
+wav2vec-S Base + CAAT base stack (bf16, mc=16/rc=8, DECISION_STEP=2, the
+most chunk-intensive published operating point,
+reference wav2vec_s_scripts/eval/eval_wav2vec_s_caat_st.sh:3).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Random weights emit a non-blank argmax essentially every step, so every
+chunk pays the full ``max_emit`` decode iterations — a *pessimistic* bound
+vs. real checkpoints, which emit blank (advance-source) most chunks.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; the
+"extras" field carries secondary metrics (encoder-only leg, DECISION_STEP=10
+operating point).
 """
 
 from __future__ import annotations
@@ -14,13 +21,15 @@ from __future__ import annotations
 import json
 import time
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 BASELINE_AUDIO_SEC_PER_SEC = 500.0  # north-star target (BASELINE.md)
 
 
-def main(attention_impl: str = "flash"):
+def encoder_bench(attention_impl: str = "flash"):
+    """One-shot blockwise encode throughput (the round-1 headline)."""
     from wav2vec_s_tpu.models import Wav2Vec2Model, wav2vec_s_base_config
 
     cfg = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0,
@@ -32,9 +41,8 @@ def main(attention_impl: str = "flash"):
     src = jax.random.normal(jax.random.PRNGKey(0), (B, S), jnp.float32)
     mask_pos = jnp.zeros((B, 2), jnp.int32)
 
-    rngs = {"params": jax.random.PRNGKey(0)}
     variables = model.init(
-        dict(rngs, dropout=jax.random.PRNGKey(1),
+        dict(params=jax.random.PRNGKey(0), dropout=jax.random.PRNGKey(1),
              gumbel=jax.random.PRNGKey(2), negatives=jax.random.PRNGKey(3),
              layerdrop=jax.random.PRNGKey(4)),
         src, mask_pos, 0, train=False)
@@ -59,14 +67,78 @@ def main(attention_impl: str = "flash"):
         acc += float(encode(params, x))
     dt = time.perf_counter() - t0
     assert acc == acc, "NaN checksum"
+    return B * seconds * iters / dt
 
-    audio_sec = B * seconds * iters
-    value = audio_sec / dt
+
+def _build_caat(dtype="bfloat16"):
+    """wav2vec-S Base encoder + CAAT base decoder/jointer, random weights."""
+    from wav2vec_s_tpu.models import wav2vec_s_base_config
+    from wav2vec_s_tpu.models.caat import CaatConfig, W2V2CaatModel
+
+    w2v = wav2vec_s_base_config(dtype=dtype, encoder_layerdrop=0.0)
+    caat = CaatConfig(dtype=dtype, dropout=0.0, attention_dropout=0.0,
+                      activation_dropout=0.0)
+    model = W2V2CaatModel(w2v, caat)
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 16000))
+    prev = jnp.asarray([[caat.bos, 5, 6]], jnp.int32)
+    rngs = {n: jax.random.PRNGKey(i) for i, n in enumerate(
+        ["params", "dropout", "gumbel", "negatives", "layerdrop",
+         "rand_pos"])}
+    variables = jax.jit(
+        lambda: model.init(rngs, src, prev, train=False))()
+    return model, variables["params"], w2v, caat
+
+
+def agent_bench(decision_step: int, n_streams: int = 128,
+                seconds: float = 10.0, max_emit: int = 4):
+    """Full agent path: incremental encode + cached greedy decode.
+
+    ``decision_step`` = blocks (of mc=16 frames) read per decode round —
+    the reference's DECISION_STEP / --step-read-blocks operating point.
+    """
+    from wav2vec_s_tpu.data.dictionary import Dictionary
+    from wav2vec_s_tpu.stream.batched import CachedFusedGreedyDecoder
+
+    model, params, w2v, caat = _build_caat()
+    vocab = Dictionary()
+    for i in range(caat.vocab_size - vocab.nspecial):
+        vocab.add_symbol(f"w{i}")
+
+    S = int(seconds * 16000)
+    frames = (S - 400) // 320 + 1
+    t_cap = -(-(frames + w2v.right_context) // 128) * 128
+    dec = CachedFusedGreedyDecoder(
+        model, params, vocab, w2v, max_len=256, max_emit_per_chunk=max_emit,
+        t_cap=t_cap, blocks_per_step=decision_step)
+    dec.transfer_dtype = "int16"   # the SimulEval wire format
+
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(S).astype(np.float32) * 0.1
+            for _ in range(n_streams)]
+    dec.decode_corpus(wavs)  # compile + warmup
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        texts, delays = dec.decode_corpus(wavs)
+    dt = time.perf_counter() - t0
+    assert any(texts), "decoder emitted nothing"
+    return n_streams * seconds * iters / dt
+
+
+def main():
+    agent_ds2 = agent_bench(decision_step=2)
+    agent_ds10 = agent_bench(decision_step=10)
+    enc = encoder_bench()
     print(json.dumps({
-        "metric": "blockwise_encode_throughput",
-        "value": round(value, 2),
+        "metric": "streaming_agent_throughput_ds2",
+        "value": round(agent_ds2, 2),
         "unit": "audio_sec/s/chip",
-        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "vs_baseline": round(agent_ds2 / BASELINE_AUDIO_SEC_PER_SEC, 3),
+        "extras": {
+            "streaming_agent_throughput_ds10": round(agent_ds10, 2),
+            "blockwise_encode_throughput": round(enc, 2),
+        },
     }))
 
 

@@ -398,151 +398,121 @@ class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
 
 
 class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
-    """Fused scan + incremental *jointer* K/V caches.
+    """Fused scan + incremental jointer K/V *and* LM K/V caches.
 
-    The jointer cross-attends the same encoder output at every layer, so its
-    per-layer K/V projections are append-only streams exactly like the
-    encoder's (the reference caches them in ExpandMultiheadAttention's
-    incremental state, attention_transducer.py:667-684).  Without this, every
-    greedy emission reprojects the whole encoder history — the dominant cost
-    of the fused path.
+    Every cache the reference keeps in incremental state has a
+    fixed-capacity twin here: the jointer's encoder K/V projections
+    (ExpandMultiheadAttention, attention_transducer.py:667-684) append once
+    per chunk, and the IsolatedDecoder's per-layer self-attention K/V
+    (fairseq ``prev_key/prev_value``) append once per *emission*, so a
+    greedy step is O(1) — one-token LM step + one-query jointer pass —
+    instead of a full LM recompute over the padded prefix.  The step math
+    lives in stream/caat_step.py and is equivalence-pinned to
+    ``W2V2CaatModel.decode_step`` for both LN orderings.
     """
 
+    #: host->device wire format for the audio.  "float32" ships raw floats;
+    #: "int16" ships 16-bit PCM (what the SimulEval server actually sends —
+    #: scorer/instance.py serves int16 samples; the reference agent
+    #: normalizes by /32768, rain transducer_searcher.py:31-80) and converts
+    #: on device, halving transfer bytes over the host link.
+    transfer_dtype = "float32"
+
     def decode_corpus(self, wavs: List[np.ndarray]):
-        from wav2vec_s_tpu.models.modules import fp32_layer_norm
-        from wav2vec_s_tpu.ops.block_mask import MASK_VALUE
+        from wav2vec_s_tpu.stream import caat_step
 
         N = len(wavs)
         enc = self._enc_factory(N)
         hop, W = enc.hop, enc.window
         max_samples = max(len(w) for w in wavs)
-        audio = np.zeros((N, max_samples + W), np.float32)
+        int16 = self.transfer_dtype == "int16"
+        audio = np.zeros((N, max_samples + W),
+                         np.int16 if int16 else np.float32)
         for i, w in enumerate(wavs):
-            audio[i, :len(w)] = w
+            if int16 and w.dtype != np.int16:
+                audio[i, :len(w)] = np.clip(w * 32768.0, -32768, 32767)
+            else:
+                audio[i, :len(w)] = w
         total_frames = (max_samples - enc.rf) // hop + 1
         n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
-        windows = np.stack([audio[:, k * enc.n_main * hop:
-                                  k * enc.n_main * hop + W]
-                            for k in range(n_chunks)])
+        stride = enc.n_main * hop
 
         model, vocab = self.model, self.vocab
         caat = model.cfg
-        L_j = caat.jointer_layers
-        D = caat.jointer_embed_dim
-        H = caat.jointer_attention_heads
-        Dh = D // H
-        max_emit, max_len, t_cap = self.max_emit, self.max_len, self.t_cap
+        max_emit, max_len = self.max_emit, self.max_len
+        t_cap = self.t_cap
         mc, rc = self.mc, self.rc
 
-        def _dense(p, x):
-            y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
-            return y + p["bias"].astype(x.dtype) if "bias" in p else y
+        def window_at(audio_dev, start):
+            win = jax.lax.dynamic_slice(audio_dev, (0, start), (N, W))
+            if int16:
+                win = win.astype(jnp.float32) / 32768.0
+            return win
 
-        def _ln(p, x):
-            return fp32_layer_norm(x, p["scale"], p["bias"])
-
-        def build_joint_kv(params, x_new):
-            """x_new: [N, n, D] new encoder frames -> [L_j, N, n, D] x2."""
-            ks, vs = [], []
-            for i in range(L_j):
-                att = params["jointer"][f"layer_{i}"]["enc_attn"]
-                ks.append(_dense(att["k_proj"], x_new))
-                vs.append(_dense(att["v_proj"], x_new))
-            return jnp.stack(ks), jnp.stack(vs)
-
-        def jointer_cached(params, h_last, jk, jv, visible):
-            """h_last: [N, 1, D]; jk/jv: [L_j, N, T_cap, D] -> logits [N,V]."""
-            mask = (jnp.arange(t_cap)[None, :] >= visible[:, None])
-            bias = jnp.where(mask, MASK_VALUE, 0.0)[:, None, None, :]
-            x = h_last
-            for i in range(L_j):
-                lp = params["jointer"][f"layer_{i}"]
-                h = _ln(lp["attn_layer_norm"], x)
-                att = lp["enc_attn"]
-                q = _dense(att["q_proj"], h).reshape(-1, 1, H, Dh)
-                k = jk[i].reshape(jk.shape[1], t_cap, H, Dh)
-                v = jv[i].reshape(jv.shape[1], t_cap, H, Dh)
-                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                    preferred_element_type=jnp.float32)
-                logits = logits * (Dh ** -0.5) + bias
-                p_att = jax.nn.softmax(logits, -1).astype(x.dtype)
-                o = jnp.einsum("bhqk,bkhd->bqhd", p_att, v).reshape(
-                    -1, 1, D)
-                x = x + _dense(att["out_proj"], o)
-                h = _ln(lp["final_layer_norm"], x)
-                h = jax.nn.relu(_dense(lp["fc1"], h))
-                x = x + _dense(lp["fc2"], h)
-            logits = jnp.einsum("bud,vd->buv", x.astype(jnp.float32),
-                                params["embed_tokens"].astype(jnp.float32))
-            return jax.nn.log_softmax(logits[:, 0], axis=-1)
-
-        def lm_last(params, prefixes, lens):
-            h = model.apply(
-                {"params": params}, prefixes, False,
-                params["embed_tokens"],
-                method=lambda m, t, tr, emb: m.decoder_lm(
-                    t, train=tr, embed_matrix=emb))
-            return h[jnp.arange(h.shape[0]), lens - 1][:, None]
-
-        def greedy(params, prefixes, lens, jk, jv, visible):
+        def greedy(params, prefixes, lens, lm, jk, jv, visible):
             blank, pad = vocab.bos(), vocab.pad()
 
             def cond(carry):
-                prefixes, lens, blocked, i = carry
+                prefixes, lens, lm, blocked, i = carry
                 # early exit once every stream has emitted blank
                 return (i < max_emit) & ~jnp.all(blocked)
 
             def body(carry):
-                prefixes, lens, blocked, i = carry
-                h_last = lm_last(params, prefixes, lens)
-                lp = jointer_cached(params, h_last, jk, jv, visible)
+                prefixes, lens, lm, blocked, i = carry
+                lp = caat_step.jointer_step(params, caat, lm.h_last, jk, jv,
+                                            visible)
                 lp = lp.at[:, pad].set(-jnp.inf)
-                tok = jnp.argmax(lp, axis=-1)
+                tok = jnp.argmax(lp, axis=-1).astype(jnp.int32)
                 emit = (~blocked) & (tok != blank) & (lens < max_len)
                 n = prefixes.shape[0]
                 prefixes = prefixes.at[jnp.arange(n), lens].set(
                     jnp.where(emit, tok.astype(prefixes.dtype),
                               prefixes[jnp.arange(n), lens]))
+                lm = caat_step.lm_step(params, caat, lm, tok, lens, emit)
                 lens = lens + emit.astype(lens.dtype)
-                return prefixes, lens, blocked | ~emit, i + 1
+                return prefixes, lens, lm, blocked | ~emit, i + 1
 
             blocked = jnp.zeros(prefixes.shape[0], bool)
-            prefixes, lens, _, _ = jax.lax.while_loop(
+            prefixes, lens, lm, _, _ = jax.lax.while_loop(
                 cond, body,
-                (prefixes, lens, blocked, jnp.zeros((), jnp.int32)))
-            return prefixes, lens
+                (prefixes, lens, lm, blocked, jnp.zeros((), jnp.int32)))
+            return prefixes, lens, lm
 
-        def fused(params, estate, jk, jv, prefixes, lens, windows):
-            def scan_body(carry, win):
-                estate, jk, jv, prefixes, lens = carry
+        def fused(params, estate, jk, jv, prefixes, lens, audio_dev):
+            lm = caat_step.lm_init(params, caat, N, max_len + 1)
+
+            def scan_body(carry, start):
+                estate, jk, jv, lm, prefixes, lens = carry
                 t0 = estate.t_main
-                estate = enc.step_fn(params["encoder"], estate, win)
+                estate = enc.step_fn(params["encoder"], estate,
+                                     window_at(audio_dev, start))
                 x_new = jax.lax.dynamic_slice_in_dim(
                     estate.out_cache, t0, enc.n_main, axis=1)
-                k_new, v_new = build_joint_kv(params, x_new)
-                jk = jax.lax.dynamic_update_slice_in_dim(jk, k_new, t0,
-                                                         axis=2)
-                jv = jax.lax.dynamic_update_slice_in_dim(jv, v_new, t0,
-                                                         axis=2)
+                k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
+                jk, jv = caat_step.jointer_kv_append(jk, jv, k_new, v_new,
+                                                     t0)
                 visible = estate.t_main * jnp.ones((prefixes.shape[0],),
                                                    jnp.int32)
-                prefixes, lens = greedy(params, prefixes, lens, jk, jv,
-                                        visible)
-                return (estate, jk, jv, prefixes, lens), lens
+                prefixes, lens, lm = greedy(params, prefixes, lens, lm,
+                                            jk, jv, visible)
+                return (estate, jk, jv, lm, prefixes, lens), lens
 
-            (estate, jk, jv, prefixes, lens), lens_hist = jax.lax.scan(
-                scan_body, (estate, jk, jv, prefixes, lens), windows[:-1])
+            starts = jnp.arange(n_chunks - 1, dtype=jnp.int32) * stride
+            (estate, jk, jv, lm, prefixes, lens), lens_hist = jax.lax.scan(
+                scan_body, (estate, jk, jv, lm, prefixes, lens), starts)
             # final chunk: flush commits mc + rc frames
             t0 = estate.t_main
-            estate = enc.flush_fn(params["encoder"], estate, windows[-1])
+            estate = enc.flush_fn(
+                params["encoder"], estate,
+                window_at(audio_dev, (n_chunks - 1) * stride))
             x_new = jax.lax.dynamic_slice_in_dim(estate.out_cache, t0,
                                                  enc.n_main + rc, axis=1)
-            k_new, v_new = build_joint_kv(params, x_new)
-            jk = jax.lax.dynamic_update_slice_in_dim(jk, k_new, t0, axis=2)
-            jv = jax.lax.dynamic_update_slice_in_dim(jv, v_new, t0, axis=2)
+            k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
+            jk, jv = caat_step.jointer_kv_append(jk, jv, k_new, v_new, t0)
             visible = estate.t_main * jnp.ones((prefixes.shape[0],),
                                                jnp.int32)
-            prefixes, lens = greedy(params, prefixes, lens, jk, jv, visible)
+            prefixes, lens, lm = greedy(params, prefixes, lens, lm, jk, jv,
+                                        visible)
             lens_hist = jnp.concatenate([lens_hist, lens[None]], 0)
             return prefixes, lens, lens_hist
 
@@ -551,13 +521,15 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
 
         estate = enc.init()
         cdtype = estate.out_cache.dtype
-        jk = jnp.zeros((L_j, N, t_cap, D), cdtype)
-        jv = jnp.zeros((L_j, N, t_cap, D), cdtype)
+        jk = tuple(jnp.zeros((N, t_cap, caat.jointer_embed_dim), cdtype)
+                   for _ in range(caat.jointer_layers))
+        jv = tuple(jnp.zeros((N, t_cap, caat.jointer_embed_dim), cdtype)
+                   for _ in range(caat.jointer_layers))
         prefixes = np.full((N, self.max_len + 1), vocab.pad(), np.int32)
         prefixes[:, 0] = vocab.bos()
         prefixes, lens, lens_hist = self._fused_cached(
             self.params, estate, jk, jv, jnp.asarray(prefixes),
-            jnp.ones(N, jnp.int32), jnp.asarray(windows))
+            jnp.ones(N, jnp.int32), jnp.asarray(audio))
 
         lens_all = np.asarray(lens_hist)
         delays = [[] for _ in range(N)]

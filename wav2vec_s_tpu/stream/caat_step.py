@@ -1,0 +1,229 @@
+"""Incremental CAAT decode steps: KV-cached LM + cached jointer.
+
+The single home of the streaming decode math shared by every fused decoder
+(stream/batched.py) and the beam searcher.  Functionally mirrors the
+reference's incremental path — ``IsolatedDecoder`` with per-layer KV caches
+and ``ExpandMultiheadAttention`` encoder-K/V incremental state
+(rain/layers/attention_transducer.py:60-287, 667-684,
+``TransducerMHADecoder.forward`` :886-905) — but as pure functions over the
+flax param tree with fixed-capacity caches and per-stream write offsets, so
+the whole corpus decode stays inside one compiled ``lax.scan``.
+
+Semantics are pinned to ``W2V2CaatModel.decode_step`` (the recompute
+formulation) by tests/test_caat_step.py for BOTH pre-LN and post-LN layer
+orderings; any model change that diverges this path breaks those tests.
+
+Cost model (why this exists): one greedy emission here is O(1) — a
+one-token LM step (attention over the cached prefix) plus a one-query
+jointer pass over pre-projected encoder K/V.  The recompute path
+(``decode_step``) re-runs the full LM over the padded prefix per emission,
+which dominated the round-1 agent benchmark.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from wav2vec_s_tpu.models.modules import fp32_layer_norm
+from wav2vec_s_tpu.ops.block_mask import MASK_VALUE
+from wav2vec_s_tpu.utils.positional import sinusoidal_table, PADDING_IDX
+
+
+def _dense(p, x):
+    y = jnp.einsum("...d,df->...f", x, p["kernel"].astype(x.dtype))
+    return y + p["bias"].astype(x.dtype) if "bias" in p else y
+
+
+def _ln(p, x):
+    return fp32_layer_norm(x, p["scale"], p["bias"])
+
+
+class LMState(struct.PyTreeNode):
+    """Per-stream incremental LM state.
+
+    k/v: per-layer tuples of [N, U_cap, D] caches of the *projected*
+    keys/values (the fairseq ``prev_key/prev_value`` contract,
+    multihead_attention.py:197-300) — independent buffers, NOT a stacked
+    [L, ...] array, so per-layer scatter updates stay in place instead of
+    copying the whole multi-layer buffer every emission; h_last: [N, D] LM
+    output at the last prefix position (post final-LN when pre-LN config)
+    — the jointer query.
+    """
+
+    k: tuple
+    v: tuple
+    h_last: jnp.ndarray
+
+
+def _attend_one(q, k_cache, v_cache, idx, n_heads):
+    """One-query attention against a per-stream-length cache.
+
+    q: [N, D]; k_cache/v_cache: [N, U_cap, D]; idx: [N] last valid cache
+    row per stream (keys j <= idx attend).
+    """
+    N, U_cap, D = k_cache.shape
+    H = n_heads
+    Dh = D // H
+    qh = q.reshape(N, H, Dh)
+    kh = k_cache.reshape(N, U_cap, H, Dh)
+    vh = v_cache.reshape(N, U_cap, H, Dh)
+    logits = jnp.einsum("nhd,nuhd->nhu", qh, kh,
+                        preferred_element_type=jnp.float32) * (Dh ** -0.5)
+    bias = jnp.where(jnp.arange(U_cap)[None] <= idx[:, None], 0.0,
+                     MASK_VALUE)
+    logits = logits + bias[:, None, :]
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("nhu,nuhd->nhd", p, vh)
+    return out.reshape(N, D)
+
+
+def lm_step(params, cfg, state: LMState, tokens: jnp.ndarray,
+            index: jnp.ndarray, advance: jnp.ndarray) -> LMState:
+    """Consume one token per stream through the IsolatedDecoder.
+
+    Args:
+      params: the W2V2CaatModel param tree (needs ``decoder_lm`` +
+        ``embed_tokens``).
+      tokens:  [N] token ids appended at prefix position ``index``.
+      index:   [N] 0-based position of the new token (== old prefix length).
+      advance: [N] bool; streams with False keep their previous
+        ``h_last`` (their K/V rows at ``index`` are written but invisible
+        until ``index`` grows, so unconditional writes are safe).
+
+    Returns the updated LMState.
+    """
+    c = cfg
+    D = c.decoder_embed_dim
+    lm = params["decoder_lm"]
+    embed = params.get("embed_tokens", lm.get("embed_tokens"))
+    dtype = c.compute_dtype
+
+    x = embed.astype(dtype)[tokens] * (D ** 0.5)                 # [N, D]
+    # fairseq positions: token at index i sits at i + 1 + padding_idx
+    table = sinusoidal_table(
+        c.max_target_positions + PADDING_IDX + 1 + c.rand_pos_decoder, D)
+    x = x + table[index + 1 + PADDING_IDX].astype(dtype)
+
+    N = tokens.shape[0]
+    rows = jnp.arange(N)
+    new_k, new_v = list(state.k), list(state.v)
+    for i in range(c.decoder_layers):
+        lp = lm[f"layer_{i}"]
+        att = lp["self_attn"]
+        h_in = (_ln(lp["self_attn_layer_norm"], x)
+                if c.decoder_normalize_before else x)
+        q = _dense(att["q_proj"], h_in)
+        k1 = _dense(att["k_proj"], h_in)
+        v1 = _dense(att["v_proj"], h_in)
+        new_k[i] = new_k[i].at[rows, index].set(k1.astype(new_k[i].dtype))
+        new_v[i] = new_v[i].at[rows, index].set(v1.astype(new_v[i].dtype))
+        o = _attend_one(q, new_k[i].astype(dtype), new_v[i].astype(dtype),
+                        index, c.decoder_attention_heads)
+        h = _dense(att["out_proj"], o)
+        if c.decoder_normalize_before:
+            x = x + h
+            hf = _dense(lp["fc2"], jax.nn.relu(
+                _dense(lp["fc1"], _ln(lp["final_layer_norm"], x))))
+            x = x + hf
+        else:
+            x = _ln(lp["self_attn_layer_norm"], x + h)
+            hf = _dense(lp["fc2"], jax.nn.relu(_dense(lp["fc1"], x)))
+            x = _ln(lp["final_layer_norm"], x + hf)
+
+    if c.decoder_normalize_before:
+        x = _ln(lm["layer_norm"], x)
+    h_last = jnp.where(advance[:, None], x, state.h_last)
+    return LMState(k=tuple(new_k), v=tuple(new_v), h_last=h_last)
+
+
+def lm_init(params, cfg, n_streams: int, u_cap: int, bos: int | None = None,
+            dtype=None) -> LMState:
+    """Empty caches + one step on bos (prefix = [bos])."""
+    c = cfg
+    dtype = dtype or c.compute_dtype
+    z = tuple(jnp.zeros((n_streams, u_cap, c.decoder_embed_dim), dtype)
+              for _ in range(c.decoder_layers))
+    state = LMState(k=z, v=z,
+                    h_last=jnp.zeros((n_streams, c.decoder_embed_dim), dtype))
+    bos_id = c.bos if bos is None else bos
+    toks = jnp.full((n_streams,), bos_id, jnp.int32)
+    return lm_step(params, cfg, state, toks, jnp.zeros(n_streams, jnp.int32),
+                   jnp.ones(n_streams, bool))
+
+
+def jointer_kv(params, cfg, x_new: jnp.ndarray):
+    """Project new encoder frames to per-layer jointer K/V.
+
+    x_new: [N, n, D] -> (k, v) tuples of L_j arrays [N, n, D].  The
+    reference caches exactly these in ExpandMultiheadAttention's
+    incremental state (attention_transducer.py:667-684).  Per-layer tuples
+    (not a stacked array) keep downstream cache appends in place.
+    """
+    ks, vs = [], []
+    for i in range(cfg.jointer_layers):
+        att = params["jointer"][f"layer_{i}"]["enc_attn"]
+        ks.append(_dense(att["k_proj"], x_new))
+        vs.append(_dense(att["v_proj"], x_new))
+    return tuple(ks), tuple(vs)
+
+
+def jointer_kv_append(jk, jv, k_new, v_new, t0):
+    """Append per-layer new-frame K/V at cache offset ``t0`` (in place)."""
+    jk = tuple(jax.lax.dynamic_update_slice_in_dim(c, n, t0, axis=1)
+               for c, n in zip(jk, k_new))
+    jv = tuple(jax.lax.dynamic_update_slice_in_dim(c, n, t0, axis=1)
+               for c, n in zip(jv, v_new))
+    return jk, jv
+
+
+def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
+                 visible: jnp.ndarray) -> jnp.ndarray:
+    """Next-symbol log-probs from cached jointer K/V.
+
+    h_last: [N, D] LM state; jk/jv: per-layer tuples of [N, T_cap, D];
+    visible: [N] number of revealed encoder frames.  Returns [N, V]
+    log-probs — bit-compatible with ``W2V2CaatModel.decode_step``
+    (single-group jointer + shared-embedding projection) for both LN
+    orderings.
+    """
+    c = cfg
+    D = c.jointer_embed_dim
+    H = c.jointer_attention_heads
+    Dh = D // H
+    t_cap = jk[0].shape[1]
+    N = h_last.shape[0]
+    bias = jnp.where(jnp.arange(t_cap)[None] < visible[:, None], 0.0,
+                     MASK_VALUE)                                  # [N, T]
+    x = h_last
+    for i in range(c.jointer_layers):
+        lp = params["jointer"][f"layer_{i}"]
+        att = lp["enc_attn"]
+        h = _ln(lp["attn_layer_norm"], x) if c.decoder_normalize_before else x
+        q = _dense(att["q_proj"], h).reshape(N, H, Dh)
+        k = jk[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
+        v = jv[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
+        logits = jnp.einsum("nhd,nthd->nht", q, k,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        logits = logits + bias[:, None, :]
+        p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("nht,nthd->nhd", p, v).reshape(N, D)
+        h = _dense(att["out_proj"], o)
+        x = x + h
+        if not c.decoder_normalize_before:
+            x = _ln(lp["attn_layer_norm"], x)
+        h = _ln(lp["final_layer_norm"], x) if c.decoder_normalize_before else x
+        h = jax.nn.relu(_dense(lp["fc1"], h))
+        h = _dense(lp["fc2"], h)
+        x = x + h
+        if not c.decoder_normalize_before:
+            x = _ln(lp["final_layer_norm"], x)
+
+    if c.share_input_output_embed:
+        logits = jnp.einsum("nd,vd->nv", x.astype(jnp.float32),
+                            params["embed_tokens"].astype(jnp.float32))
+    else:
+        logits = _dense(params["out_proj"],
+                        x.astype(jnp.float32))
+    return jax.nn.log_softmax(logits, axis=-1)

@@ -33,15 +33,20 @@ from wav2vec_s_tpu.ops.block_mask import MASK_VALUE
 from wav2vec_s_tpu.utils.positional import sinusoidal_table, POS_OFFSET
 
 class IncrementalEncoderState(struct.PyTreeNode):
-    k_cache: jnp.ndarray     # [L, N, T_cap, D]
-    v_cache: jnp.ndarray     # [L, N, T_cap, D]
+    # per-layer tuples of [N, T_cap, D]: a stacked [L, N, T_cap, D] array
+    # would force XLA to copy the WHOLE multi-layer buffer on every
+    # per-layer `at[i].set` write-back inside the loop (~GBs of HBM traffic
+    # per chunk); independent buffers update in place.
+    k_cache: tuple
+    v_cache: tuple
     out_cache: jnp.ndarray   # [N, T_cap, D] encoder outputs
     t_main: jnp.ndarray      # scalar int32: frames cached so far
 
 
 def init_state(n_streams: int, n_layers: int, dim: int, t_cap: int,
                dtype=jnp.float32) -> IncrementalEncoderState:
-    z = jnp.zeros((n_layers, n_streams, t_cap, dim), dtype)
+    z = tuple(jnp.zeros((n_streams, t_cap, dim), dtype)
+              for _ in range(n_layers))
     return IncrementalEncoderState(
         k_cache=z, v_cache=z,
         out_cache=jnp.zeros((n_streams, t_cap, dim), dtype),
@@ -159,8 +164,8 @@ class IncrementalBlockwiseEncoder:
             H = c.encoder_attention_heads
             D = c.encoder_embed_dim
             Dh = D // H
-            new_k = state.k_cache
-            new_v = state.v_cache
+            new_k = list(state.k_cache)
+            new_v = list(state.v_cache)
 
             for i in range(c.encoder_layers):
                 lp = enc_p["layers"][f"layer_{i}"]
@@ -176,6 +181,7 @@ class IncrementalBlockwiseEncoder:
                     [state.k_cache[i].astype(x.dtype), k_new], axis=1)
                 v_all = jnp.concatenate(
                     [state.v_cache[i].astype(x.dtype), v_new], axis=1)
+                cache_dtype = state.k_cache[i].dtype
 
                 def split(t):
                     B, T, _ = t.shape
@@ -199,10 +205,10 @@ class IncrementalBlockwiseEncoder:
                 else:
                     keep_k = k_new[:, :n_keep]
                     keep_v = v_new[:, :n_keep]
-                new_k = new_k.at[i].set(jax.lax.dynamic_update_slice_in_dim(
-                    new_k[i], keep_k.astype(new_k.dtype), t0, axis=1))
-                new_v = new_v.at[i].set(jax.lax.dynamic_update_slice_in_dim(
-                    new_v[i], keep_v.astype(new_v.dtype), t0, axis=1))
+                new_k[i] = jax.lax.dynamic_update_slice_in_dim(
+                    new_k[i], keep_k.astype(cache_dtype), t0, axis=1)
+                new_v[i] = jax.lax.dynamic_update_slice_in_dim(
+                    new_v[i], keep_v.astype(cache_dtype), t0, axis=1)
 
                 if c.layer_norm_first:
                     x = x + h
@@ -227,8 +233,8 @@ class IncrementalBlockwiseEncoder:
                 state.out_cache, commit.astype(state.out_cache.dtype),
                 t0, axis=1)
             new_state = IncrementalEncoderState(
-                k_cache=new_k, v_cache=new_v, out_cache=out_cache,
-                t_main=t0 + n_keep)
+                k_cache=tuple(new_k), v_cache=tuple(new_v),
+                out_cache=out_cache, t_main=t0 + n_keep)
             return new_state
 
         return step
