@@ -144,8 +144,39 @@ def _install_stubs():
         sf.info = _unavailable
         sf.SoundFile = _unavailable
         sf.available_formats = lambda: {}
-    for _m in ("editdistance", "bitarray", "sentencepiece", "torchaudio"):
+    for _m in ("editdistance", "bitarray", "sentencepiece", "torchaudio",
+               "torchvision"):
         _stub_module(_m)
+
+    # torch>=2.6 defaults torch.load(weights_only=True), which rejects the
+    # argparse.Namespace objects inside fairseq checkpoints; the reference
+    # targets torch 1.x semantics.  Restore them for unqualified calls.
+    import torch as _torch
+    if not getattr(_torch, "_wav2vec_s_tpu_load_patched", False):
+        _orig_load = _torch.load
+
+        def _compat_load(*a, **k):
+            k.setdefault("weights_only", False)
+            return _orig_load(*a, **k)
+
+        _torch.load = _compat_load
+        _torch._wav2vec_s_tpu_load_patched = True
+
+    # rain imports the compiled warp loss at module scope
+    # (rain/layers/attention_transducer.py:42); the golden tests compare the
+    # joint lattice, not the CUDA loss, so a constructible stub suffices.
+    if "warprnnt_pytorch" not in sys.modules:
+        wr = _stub_module("warprnnt_pytorch")
+
+        class _StubLoss:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):
+                raise RuntimeError("warprnnt stub: loss not available")
+
+        wr.DelayTLoss = _StubLoss
+        wr.RNNTLoss = _StubLoss
 
     # python>=3.11 rejects mutable dataclass defaults; fairseq's config
     # dataclasses nest instances as defaults.  Rewrite them to factories.

@@ -31,9 +31,15 @@ def main(argv=None):
                         "(e.g. 'encoder.w2v2_model.')")
     p.add_argument("--encoder-type", default="blockwise",
                    choices=["blockwise", "full"])
+    p.add_argument("--model", default="w2v2",
+                   choices=["w2v2", "caat"],
+                   help="'caat' imports a full fine-tuned w2v2_caat "
+                        "checkpoint (encoder + LM decoder + jointer + "
+                        "output embed)")
     p.add_argument("--platform", default="cpu")
     p.add_argument("overrides", nargs="*", default=[],
-                   help="Wav2Vec2Config overrides, key=value")
+                   help="config overrides, key=value; caat.* keys go to "
+                        "CaatConfig")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -46,13 +52,17 @@ def main(argv=None):
     state = load_torch_checkpoint(args.pt)
     sd = state["model"] if "model" in state else state
 
-    kw = {}
+    kw, caat_kw = {}, {}
     for ov in args.overrides:
         k, v = ov.split("=", 1)
         import ast
         try:
-            kw[k] = ast.literal_eval(v)
+            v = ast.literal_eval(v)
         except (ValueError, SyntaxError):
+            pass
+        if k.startswith("caat."):
+            caat_kw[k[len("caat."):]] = v
+        else:
             kw[k] = v
     # try to pick dims up from the stored config when present
     cfg_src = state.get("cfg") or {}
@@ -66,8 +76,22 @@ def main(argv=None):
             kw[key] = model_cfg[key]
     cfg = Wav2Vec2Config(**kw)
 
-    params = import_wav2vec2_params(sd, cfg, encoder_type=args.encoder_type,
-                                    prefix=args.prefix)
+    if args.model == "caat":
+        from wav2vec_s_tpu.checkpoint.torch_import import import_caat_params
+        from wav2vec_s_tpu.models.caat import CaatConfig
+
+        for key in ("decoder_layers", "decoder_embed_dim",
+                    "decoder_ffn_embed_dim", "decoder_attention_heads",
+                    "jointer_layers", "jointer_embed_dim",
+                    "jointer_ffn_embed_dim", "jointer_attention_heads",
+                    "transducer_downsample"):
+            if key in model_cfg and key not in caat_kw:
+                caat_kw[key] = model_cfg[key]
+        caat_cfg = CaatConfig(**caat_kw)
+        params = import_caat_params(sd, cfg, caat_cfg)
+    else:
+        params = import_wav2vec2_params(
+            sd, cfg, encoder_type=args.encoder_type, prefix=args.prefix)
     n = sum(np.asarray(x).size for x in jax.tree_util.tree_leaves(params))
     mgr = CheckpointManager(args.out, keep_last=0)
     mgr.save(0, {"params": params, "cfg": {}},

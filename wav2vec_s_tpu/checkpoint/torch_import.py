@@ -143,6 +143,78 @@ def import_wav2vec2_params(state_dict: Dict[str, Any], cfg,
     return p
 
 
+def import_caat_params(state_dict: Dict[str, Any], w2v_cfg, caat_cfg
+                       ) -> Dict[str, Any]:
+    """Map a fine-tuned rain ``w2v2_caat`` state dict onto a W2V2CaatModel
+    param tree.
+
+    Reference naming (rain/models/w2v2_transducer.py +
+    rain/layers/attention_transducer.py:60-922):
+
+    - ``encoder.w2v2_model.*``          -> ``encoder`` (blockwise wav2vec2;
+      unidirect_w2v2_encoder.py:554)
+    - ``decoder.lm.embed_tokens.weight``-> ``embed_tokens`` (shared with the
+      output projection when share_decoder_input_output_embed,
+      attention_transducer.py:861-863)
+    - ``decoder.lm.layers.{i}.*``       -> ``decoder_lm.layer_{i}`` (the
+      IsolatedDecoder's self-attention-only TransformerDecoder layers)
+    - ``decoder.lm.layer_norm.*``       -> ``decoder_lm.layer_norm`` (pre-LN)
+    - ``decoder.jointer.layers.{i}.*``  -> ``jointer.layer_{i}``
+      (enc_attn q/k/v/out projections, attn/final layer norms, fc1/fc2)
+    - ``decoder.transducer_out.out_proj.weight`` -> ``out_proj`` (only when
+      the embedding is NOT shared)
+
+    Buffers (sinusoidal position ``_float_tensor`` etc.) are ignored — our
+    position tables are recomputed functions of (length, dim).
+    """
+    sd = state_dict
+    p: Dict[str, Any] = {}
+    p["encoder"] = import_wav2vec2_params(
+        sd, w2v_cfg, encoder_type="blockwise", prefix="encoder.w2v2_model.")
+    if "encoder.encoder_proj.weight" in sd:
+        raise NotImplementedError(
+            "use_linear_layer encoder projection not supported")
+
+    p["embed_tokens"] = _t(sd["decoder.lm.embed_tokens.weight"])
+
+    lm: Dict[str, Any] = {}
+    i = 0
+    while f"decoder.lm.layers.{i}.self_attn.q_proj.weight" in sd:
+        lm[f"layer_{i}"] = _import_encoder_layer(sd, f"decoder.lm.layers.{i}")
+        i += 1
+    if i != caat_cfg.decoder_layers:
+        raise ValueError(f"decoder has {i} layers, config says "
+                         f"{caat_cfg.decoder_layers}")
+    if "decoder.lm.layer_norm.weight" in sd:
+        lm["layer_norm"] = _norm(sd, "decoder.lm.layer_norm")
+    p["decoder_lm"] = lm
+
+    jointer: Dict[str, Any] = {}
+    i = 0
+    while f"decoder.jointer.layers.{i}.enc_attn.q_proj.weight" in sd:
+        base = f"decoder.jointer.layers.{i}"
+        jointer[f"layer_{i}"] = {
+            "enc_attn": {
+                proj: _linear(sd, f"{base}.enc_attn.{proj}")
+                for proj in ("q_proj", "k_proj", "v_proj", "out_proj")
+            },
+            "attn_layer_norm": _norm(sd, base + ".attn_layer_norm"),
+            "final_layer_norm": _norm(sd, base + ".final_layer_norm"),
+            "fc1": _linear(sd, base + ".fc1"),
+            "fc2": _linear(sd, base + ".fc2"),
+        }
+        i += 1
+    if i != caat_cfg.jointer_layers:
+        raise ValueError(f"jointer has {i} layers, config says "
+                         f"{caat_cfg.jointer_layers}")
+    p["jointer"] = jointer
+
+    if not caat_cfg.share_input_output_embed:
+        p["out_proj"] = {
+            "kernel": _t(sd["decoder.transducer_out.out_proj.weight"]).T}
+    return p
+
+
 def assert_tree_shapes_match(imported, init_params, path=""):
     """Recursively check the imported tree against a freshly-initialized one."""
     if isinstance(init_params, dict):
