@@ -10,7 +10,7 @@ Defaults mirror the published fine-tune recipe
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -38,9 +38,17 @@ class CaatConfig:
     jointer_ffn_embed_dim: int = 3072
     jointer_attention_heads: int = 12
     transducer_downsample: int = 64
-    step_mode: str = "random"            # "constant" | "random"
+    # fbank model family selection (rain encodes these in arch names, e.g.
+    # transducer_base_s2 = shallow2d front-end; caat_transformer = mha)
+    frontend: str = "shallow2d"   # shallow2d | vgg2d | resnet | resnet_small
+    jointer_type: str = "mha"     # mha | concat | attention
+    step_mode: str = "random"            # "constant" | "random"; the
+    # published recipes train with random (--step-mode random,
+    # wav2vec_s_scripts/train/train_wav2vec_s_caat_simulst_base.sh:17)
     # training-time sampled decision steps: {2,4,10,20} * scale
-    # (rain attention_transducer.py:800-815; scale 8 iff downsample==32)
+    # (rain attention_transducer.py:800-815; scale 8 iff downsample==32);
+    # decision_steps overrides the sampled set when given
+    decision_steps: Optional[Tuple[int, ...]] = None
     # loss
     delay_scale: float = 1.0
     delay_func: str = "diag_positive"
@@ -60,6 +68,8 @@ class CaatConfig:
 
     @property
     def sampled_steps(self) -> Tuple[int, ...]:
+        if self.decision_steps:
+            return tuple(self.decision_steps)
         return tuple(s * self.step_scale for s in (2, 4, 10, 20))
 
     @property

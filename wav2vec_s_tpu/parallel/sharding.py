@@ -59,6 +59,43 @@ def shard_params(params: Any, mesh: Mesh):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def fsdp_shardings(params: Any, mesh: Mesh, min_size: int = 4096):
+    """FSDP-style parameter sharding over the ``data`` axis (reference:
+    fairseq ``distributed/fully_sharded_data_parallel.py`` via fairscale,
+    enabled with ``ddp_backend=fully_sharded``).
+
+    Each large parameter shards one dimension across data-parallel devices;
+    XLA's SPMD partitioner inserts the all-gather at use and the
+    reduce-scatter on the gradient — the fairscale flatten/shard/rebuild
+    machinery collapses into sharding annotations.  Composes with tensor
+    parallelism: the TP dim (if any) keeps the ``model`` axis and FSDP
+    takes a remaining divisible dim.  Small leaves (norms, biases) stay
+    replicated — sharding them costs more in collective latency than it
+    saves.
+    """
+    model_size = mesh.shape.get(AXES.model, 1)
+    n_data = mesh.shape.get(AXES.data, 1)
+
+    def one(path, leaf):
+        if n_data <= 1 or leaf.ndim < 1 or leaf.size < min_size:
+            return NamedSharding(mesh, P())
+        path_str = jax.tree_util.keystr(path)
+
+        def shapes_ok(dim):
+            return leaf.shape[dim] % model_size == 0
+
+        tp = _spec_for(path_str, leaf.ndim, model_size, shapes_ok)
+        spec = list(tp) + [None] * (leaf.ndim - len(tp))
+        # first dim not already taken by TP and divisible by n_data
+        for d in range(leaf.ndim):
+            if spec[d] is None and leaf.shape[d] % n_data == 0:
+                spec[d] = AXES.data
+                break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 def zero_shardings(opt_state: Any, mesh: Mesh):
     """ZeRO-1 style sharding for optimizer state (fairscale OSS /
     ``optim/shard.py`` + FSDP-state analogue): moment tensors shard their

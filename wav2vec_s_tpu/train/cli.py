@@ -56,7 +56,7 @@ def build_pretrain(cfg: TrainConfig):
         **cfg.model)
     model = Wav2Vec2Model(model_cfg, encoder_type="blockwise")
 
-    def make_loss(mc, rc):
+    def make_loss(mc, rc, downsample=None):
         return make_pretrain_loss_fn(model, mc, rc)
 
     def init_params(batch):
@@ -80,19 +80,33 @@ def build_caat(cfg: TrainConfig):
     tgt_dict = Dictionary.load(cfg.data.vocab)
     tokenizer = build_tokenizer(cfg.data.tokenizer, cfg.data.spm_model or None,
                                 cfg.data.bpe_dropout)
-    audio_buckets = length_buckets(cfg.data.max_sample_size, multiple=640)
+    fbank = cfg.data.features == "fbank"
+    if fbank:
+        # buckets in log-mel frames (10 ms shift), not samples
+        audio_buckets = length_buckets(cfg.data.max_sample_size // 160,
+                                       multiple=16)
+    else:
+        audio_buckets = length_buckets(cfg.data.max_sample_size, multiple=640)
     batcher = CaatBatcher(manifest, tgt_dict, tokenizer, audio_buckets,
                           task_type=cfg.data.task_type,
-                          normalize=cfg.data.normalize)
+                          normalize=cfg.data.normalize,
+                          features=cfg.data.features)
     model_cfg = Wav2Vec2Config(
         main_context=cfg.context.main_context,
         right_context=cfg.context.right_context,
         context_type="constant", **cfg.model)
     caat_cfg = CaatConfig(vocab_size=len(tgt_dict), **cfg.caat)
-    model = W2V2CaatModel(model_cfg, caat_cfg)
+    if fbank:
+        from wav2vec_s_tpu.models.fbank import FbankCaatModel
+        model = FbankCaatModel(model_cfg, caat_cfg,
+                               conv_type=caat_cfg.frontend,
+                               jointer_type=caat_cfg.jointer_type)
+    else:
+        model = W2V2CaatModel(model_cfg, caat_cfg)
 
-    def make_loss(mc, rc):
-        return make_caat_loss_fn(model, caat_cfg, mc, rc)
+    def make_loss(mc, rc, downsample=None):
+        return make_caat_loss_fn(model, caat_cfg, mc, rc,
+                                 downsample=downsample)
 
     def init_params(batch):
         import jax.numpy as jnp
@@ -104,7 +118,7 @@ def build_caat(cfg: TrainConfig):
              "rand_pos"])}
         variables = model.init(rngs, batch["source"], prev, train=False)
         params = variables["params"]
-        if cfg.run.w2v2_model_path:
+        if cfg.run.w2v2_model_path and not fbank:
             from wav2vec_s_tpu.checkpoint import (
                 load_torch_checkpoint, import_wav2vec2_params)
             sd = load_torch_checkpoint(cfg.run.w2v2_model_path)
@@ -165,6 +179,22 @@ def main(argv=None):
     params = init_params(first)
     state = TrainState.create(params, optimizer)
 
+    # sharded training state: ZeRO-1 optimizer-state sharding (fairseq
+    # optim/shard.py OSS) and FSDP parameter sharding
+    # (distributed/fully_sharded_data_parallel.py) — both are sharding
+    # annotations under SPMD; XLA inserts the gathers/reduce-scatters.
+    p_sh = o_sh = None
+    if run.fsdp:
+        from wav2vec_s_tpu.parallel.sharding import fsdp_shardings
+        p_sh = fsdp_shardings(state.params, mesh)
+        state = state.replace(params=jax.tree_util.tree_map(
+            jax.device_put, state.params, p_sh))
+    if run.zero:
+        from wav2vec_s_tpu.parallel.sharding import zero_shardings
+        o_sh = zero_shardings(state.opt_state, mesh)
+        state = state.replace(opt_state=jax.tree_util.tree_map(
+            jax.device_put, state.opt_state, o_sh))
+
     mgr = CheckpointManager(run.save_dir, keep_last=run.keep_last,
                             keep_best=run.keep_best)
     if run.restore_from or mgr.latest_step() is not None:
@@ -186,14 +216,44 @@ def main(argv=None):
         grad_mask = make_freeze_mask(run.freeze_w2v2_enc,
                                      run.freeze_finetune_updates)
 
-    def get_step(mc, rc):
-        if (mc, rc) not in steps:
-            steps[(mc, rc)] = jax.jit(
-                make_train_step(make_loss(mc, rc), optimizer,
-                                accum_steps=run.update_freq,
-                                grad_mask=grad_mask),
+    def _pin_shardings(base):
+        """Keep ZeRO/FSDP shardings stable across updates: constrain the
+        output state so XLA never silently re-replicates it."""
+        if p_sh is None and o_sh is None:
+            return base
+
+        def fn(state, batch, rng):
+            new_state, logs = base(state, batch, rng)
+            if p_sh is not None:
+                new_state = new_state.replace(
+                    params=jax.lax.with_sharding_constraint(
+                        new_state.params, p_sh))
+            if o_sh is not None:
+                new_state = new_state.replace(
+                    opt_state=jax.lax.with_sharding_constraint(
+                        new_state.opt_state, o_sh))
+            return new_state, logs
+
+        return fn
+
+    def get_step(mc, rc, ds=None):
+        if (mc, rc, ds) not in steps:
+            steps[(mc, rc, ds)] = jax.jit(
+                _pin_shardings(
+                    make_train_step(make_loss(mc, rc, ds), optimizer,
+                                    accum_steps=run.update_freq,
+                                    grad_mask=grad_mask)),
                 donate_argnums=0)
-        return steps[(mc, rc)]
+        return steps[(mc, rc, ds)]
+
+    # sampled decision-step training (reference step_mode=random,
+    # rain/layers/attention_transducer.py:800-815): one trained model serves
+    # every DECISION_STEP eval point.  Host-side draw per update; one
+    # compiled executable per step size (same pattern as the (mc, rc)
+    # context buckets).
+    sampled_steps = None
+    if run.task != "pretrain" and model.cfg.step_mode == "random":
+        sampled_steps = model.cfg.sampled_steps
 
     # validation: eval-mode loss over the valid manifest (patience early stop
     # like fairseq_cli/train.py:209-236)
@@ -222,17 +282,65 @@ def main(argv=None):
             loss, (n, logs) = vloss_fn(params, batch, rng, 0)
             return loss, n
 
-        valid_setup = (vbatcher, vbatches, vstep)
+        # generation-based validation BLEU (rain w2v2_s2s_task.py:199-236)
+        vdecode = vrefs = None
+        if run.eval_bleu and run.task != "pretrain":
+            from wav2vec_s_tpu.eval.generator import (
+                make_offline_greedy_decoder)
+            tgt_dict = vbatcher.tgt_dict
+            vdecode = make_offline_greedy_decoder(model, tgt_dict, mc0, rc0)
+            texts = (vman.src_texts if cfg.data.task_type == "asr"
+                     else vman.tgt_texts)
+            vrefs = [texts[i] for b in vbatches for i in b]
+
+        valid_setup = (vbatcher, vbatches, vstep, vdecode, vrefs)
 
     def validate(params):
-        vbatcher, vbatches, vstep = valid_setup
+        from wav2vec_s_tpu.stream.searcher import detok_pieces
+
+        vbatcher, vbatches, vstep, vdecode, vrefs = valid_setup
         tot, n = 0.0, 0.0
+        hyps = []
         for bidx in vbatches:
-            vb = shard_batch(mesh, vbatcher.collate(bidx))
+            hb = vbatcher.collate(bidx)
+            vb = shard_batch(mesh, hb)
             l, sz = vstep(params, vb, jax.random.PRNGKey(0))
             tot += float(l)
             n += float(sz)
-        return tot / max(n, 1.0)
+            if vdecode is not None:
+                pfx, lens = vdecode(params, vb["source"],
+                                    vb.get("padding_mask"))
+                pfx, lens = np.asarray(pfx), np.asarray(lens)
+                tok = getattr(vbatcher, "tokenizer", None)
+                for r in range(pfx.shape[0]):
+                    hyps.append(detok_pieces(vbatcher.tgt_dict, tok,
+                                             pfx[r, 1:lens[r]]))
+        vloss = tot / max(n, 1.0)
+        if vdecode is None:
+            return vloss, None
+        from wav2vec_s_tpu.eval.bleu import corpus_bleu
+        return vloss, corpus_bleu(hyps, vrefs[:len(hyps)])
+
+    # failure detection behind run.debug_nan (fairseq nan_detector.py via
+    # trainer.py:801-811 + DistributedTimeoutWrapper): localize the first
+    # non-finite leaf instead of silently skipping the update, and raise if
+    # the device wedges for >10min without completing an update.
+    watchdog = None
+    if run.debug_nan:
+        from wav2vec_s_tpu.utils.debug import NanDetector, Watchdog
+        watchdog = Watchdog(timeout=600.0)
+        watchdog.start()
+
+    def check_finite(logs, state):
+        if not run.debug_nan:
+            return
+        if watchdog is not None:
+            watchdog.ping()
+        if not np.isfinite(float(logs["loss_total"])):
+            bad = (NanDetector.check(logs, "logs")
+                   + NanDetector.check(state.params, "params"))
+            raise FloatingPointError(
+                "non-finite loss; offending leaves: " + "; ".join(bad))
 
     progress = JsonProgress(tensorboard_dir=run.tensorboard_dir or None)
     speed = TimeMeter()
@@ -250,19 +358,24 @@ def main(argv=None):
                     rng.randrange(len(cfg.context.buckets))]
             else:
                 mc, rc = cfg.context.main_context, cfg.context.right_context
+            ds = (sampled_steps[rng.randrange(len(sampled_steps))]
+                  if sampled_steps else None)
 
             host_batch = batcher.collate(batch_idx)
             if run.update_freq > 1:
                 host_batch = {k: _microbatch(v, run.update_freq)
                               for k, v in host_batch.items()}
             batch = shard_batch(mesh, host_batch)
-            state, logs = get_step(mc, rc)(
+            state, logs = get_step(mc, rc, ds)(
                 state, batch, jax.random.fold_in(base_rng, int(state.step)))
 
+            check_finite(logs, state)
             n = float(logs["sample_size"])
             speed.update(1)
             for k, v in logs.items():
                 window.setdefault(k, []).append(float(v))
+            if ds is not None:
+                window.setdefault("decision_step", []).append(float(ds))
 
             step_no = int(state.step)
             if step_no % run.log_interval == 0:
@@ -276,10 +389,16 @@ def main(argv=None):
 
             if valid_setup is not None and run.validate_interval_updates \
                     and step_no % run.validate_interval_updates == 0:
-                vloss = validate(state.params)
-                progress.log({"valid_loss": vloss}, step_no, tag="valid")
-                if vloss < best_valid - 1e-6:
-                    best_valid, bad_validations = vloss, 0
+                vloss, vbleu = validate(state.params)
+                vstats = {"valid_loss": vloss}
+                if vbleu is not None:
+                    vstats["valid_bleu"] = vbleu
+                progress.log(vstats, step_no, tag="valid")
+                # patience/best track BLEU (negated: lower is better) when
+                # eval_bleu is on, else loss
+                vmetric = -vbleu if vbleu is not None else vloss
+                if vmetric < best_valid - 1e-6:
+                    best_valid, bad_validations = vmetric, 0
                 else:
                     bad_validations += 1
                     if run.patience and bad_validations >= run.patience:
@@ -296,6 +415,8 @@ def main(argv=None):
             if stop:
                 break
 
+    if watchdog is not None:
+        watchdog.stop()
     mgr.save(int(state.step), state, extra={"iterator": itr.state_dict()})
     print(f"training done at step {int(state.step)}", file=sys.stderr)
 

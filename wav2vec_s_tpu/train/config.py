@@ -32,6 +32,8 @@ class DataConfig:
     num_buckets: int = 10
     seed: int = 1
     task_type: str = "st"              # CAAT: st | asr
+    features: str = "raw"              # raw waveform | fbank (log-mel, the
+    # rain fbank model family: tasks/transducer_task.py)
 
 
 @dataclasses.dataclass
@@ -56,6 +58,16 @@ class RunConfig:
     # freeze schedules (rain w2v2_transducer.py:163-174, unidirect:585-588)
     freeze_w2v2_enc: int = 0
     freeze_finetune_updates: int = 0
+    # sharded state (fairseq optim/shard.py ZeRO via OSS;
+    # distributed/fully_sharded_data_parallel.py)
+    zero: bool = False                 # ZeRO-1: shard optimizer state
+    fsdp: bool = False                 # shard parameters over the data axis
+    # NaN localization (fairseq nan_detector.py, trainer.py:801-811)
+    debug_nan: bool = False
+    # generation-based BLEU during validation; when on, best-checkpoint +
+    # patience track BLEU instead of loss (rain w2v2_s2s_task.py:109-123,
+    # 199-236: eval_bleu + best_checkpoint_metric=bleu)
+    eval_bleu: bool = False
 
 
 @dataclasses.dataclass
