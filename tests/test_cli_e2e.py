@@ -29,6 +29,8 @@ def _pretrain_yaml(tmp_path, manifest):
 run:
   task: pretrain
   num_devices: 2
+  zero: true
+  fsdp: true
   save_dir: {tmp_path}/ckpt
   max_update: 3
   log_interval: 1
@@ -102,11 +104,15 @@ run:
   task: caat
   num_devices: 2
   save_dir: {tmp_path}/ckpt_caat
-  max_update: 2
+  max_update: 4
   log_interval: 1
-  save_interval_updates: 2
+  save_interval_updates: 4
+  validate_interval_updates: 4
+  debug_nan: true
+  eval_bleu: true
 data:
   train_manifest: {tsv}
+  valid_manifest: {tsv}
   vocab: {vocab}
   tokenizer: word
   max_tokens: 40000
@@ -139,6 +145,8 @@ caat:
   jointer_ffn_embed_dim: 48
   jointer_attention_heads: 4
   transducer_downsample: 8
+  step_mode: random
+  decision_steps: [4, 8]
   tokens_per_step: 500
   dropout: 0.1
 """)
@@ -149,6 +157,15 @@ caat:
     assert recs
     assert all(np.isfinite(r["loss_total"]) for r in recs
                if "loss_total" in r)
+    # sampled decision-step training: both step sizes must actually be
+    # drawn/compiled over the run (reference step_mode=random,
+    # attention_transducer.py:800-815)
+    drawn = {r["decision_step"] for r in recs if "decision_step" in r}
+    assert drawn == {4.0, 8.0}, f"decision steps drawn: {drawn}"
+    # generation-based validation BLEU (eval_bleu; w2v2_s2s_task.py:199-236)
+    vrecs = [r for r in recs if r.get("tag") == "valid"]
+    assert vrecs and "valid_bleu" in vrecs[-1], vrecs
+    assert np.isfinite(vrecs[-1]["valid_bleu"])
     assert list((tmp_path / "ckpt_caat").glob("step_*"))
 
     # streaming + offline eval CLIs over the trained checkpoint
@@ -176,3 +193,79 @@ caat:
     bd_out = capsys.readouterr().out.strip().splitlines()[-1]
     bd = json.loads(bd_out)
     assert "audio_sec_per_sec" in bd and bd["n"] == 2
+
+
+def test_fbank_caat_cli_end_to_end(tmp_path, capsys):
+    """fbank model family trained through the same CLI (rain
+    tasks/transducer_task.py), with the ResNet front-end + eval BLEU."""
+    audio, rows = _make_audio_dir(tmp_path, n=4)
+    tsv = tmp_path / "train_st.tsv"
+    header = "id\taudio\tn_frames\ttgt_text\tsrc_text"
+    lines = [header]
+    texts = ["guten tag welt", "hallo du", "wie geht es dir", "sehr gut"]
+    for (p, n), t in zip(rows, texts):
+        lines.append(f"utt_{p}\t{audio}/{p}\t{n}\t{t}\thello world")
+    tsv.write_text("\n".join(lines) + "\n")
+    vocab = tmp_path / "dict.txt"
+    words = sorted({w for t in texts for w in t.split()})
+    vocab.write_text("\n".join(f"{w} 1" for w in words) + "\n")
+
+    cfg = tmp_path / "fbank.yaml"
+    cfg.write_text(f"""
+run:
+  task: caat
+  num_devices: 2
+  save_dir: {tmp_path}/ckpt_fbank
+  max_update: 2
+  log_interval: 1
+  save_interval_updates: 2
+  validate_interval_updates: 2
+  eval_bleu: true
+data:
+  train_manifest: {tsv}
+  valid_manifest: {tsv}
+  vocab: {vocab}
+  tokenizer: word
+  max_tokens: 40000
+  max_sample_size: 12800
+  task_type: st
+  features: fbank
+optim:
+  lr: 0.001
+  warmup_updates: 2
+context:
+  main_context: 4
+  right_context: 2
+model:
+  encoder_layers: 2
+  encoder_embed_dim: 24
+  encoder_ffn_embed_dim: 48
+  encoder_attention_heads: 4
+  final_dim: 16
+  encoder_layerdrop: 0.0
+caat:
+  decoder_layers: 2
+  decoder_embed_dim: 24
+  decoder_ffn_embed_dim: 48
+  decoder_attention_heads: 4
+  jointer_layers: 1
+  jointer_embed_dim: 24
+  jointer_ffn_embed_dim: 48
+  jointer_attention_heads: 4
+  transducer_downsample: 4
+  step_mode: constant
+  frontend: resnet_small
+  jointer_type: mha
+  tokens_per_step: 500
+  dropout: 0.1
+""")
+    from wav2vec_s_tpu.train import cli
+    cli.main(["--config", str(cfg)])
+    out = capsys.readouterr().out
+    recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert recs
+    assert all(np.isfinite(r["loss_total"]) for r in recs
+               if "loss_total" in r)
+    vrecs = [r for r in recs if r.get("tag") == "valid"]
+    assert vrecs and np.isfinite(vrecs[-1]["valid_bleu"])
+    assert list((tmp_path / "ckpt_fbank").glob("step_*"))

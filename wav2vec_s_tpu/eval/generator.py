@@ -123,6 +123,162 @@ class Seq2SeqBeamGenerator:
         return finished[:K]
 
 
+class TwoStageJointGenerator:
+    """Two-stage joint beam decode — twin of ``StageGenerator``
+    (rain/stage_generator.py:14-563, vestigial in the reference: no rain
+    model implements its decode1/decode2 contract, no task builds it).
+
+    Stage 1 beam-decodes ASR transcripts (len_penalty 1).  Stage 2
+    beam-decodes the translation with the beam ranging *jointly* over
+    (asr hypothesis, mt prefix): stage-1 cumulative scores enter as the
+    initial beam scores (``prev_scores``, :467-472) and final scores
+    normalize by the combined (asr + mt) length ** 2 (the reference's
+    ``len_penalty = 2`` stage schedule, :478/:489).  ``asr_1best``
+    restricts stage 2 to the best transcript (:487-489).
+
+    Model-agnostic: ``asr_generate(source, padding_mask) -> [BeamHypo]``
+    (scores length-normalized, best first) and ``mt_score_fn(asr_tokens
+    [K, U_s], prev_mt [K, U], lens [K]) -> log-probs [K, V]``.
+    """
+
+    def __init__(self, asr_generate, mt_score_fn, vocab, beam_size: int = 5,
+                 len_penalty_2: float = 2.0, max_len: int = 200,
+                 asr_1best: bool = False):
+        self.asr_generate = asr_generate
+        self.mt_score_fn = mt_score_fn
+        self.vocab = vocab
+        self.beam = beam_size
+        self.len_penalty_2 = len_penalty_2
+        self.max_len = max_len
+        self.asr_1best = asr_1best
+
+    def generate(self, source, padding_mask=None):
+        eos, pad = self.vocab.eos(), self.vocab.pad()
+        asr_hypos = self.asr_generate(source, padding_mask)[:self.beam]
+        if self.asr_1best:
+            asr_hypos = asr_hypos[:1]
+        K = len(asr_hypos)
+        U_s = max(max(len(h.tokens) for h in asr_hypos), 1)
+        asr_tokens = np.full((K, U_s), pad, np.int32)
+        asr_lens = np.zeros(K, np.float64)
+        prev_scores = np.zeros(K, np.float64)
+        for i, h in enumerate(asr_hypos):
+            toks = list(h.tokens)
+            asr_tokens[i, :len(toks)] = toks
+            asr_lens[i] = len(toks)
+            # de-normalize: BeamHypo scores are length-normalized (lp = 1)
+            prev_scores[i] = h.score * max(len(toks), 1)
+
+        # stage-2 beam: slots = (asr hypo, mt prefix); start one beam per
+        # transcript with its carried cumulative score
+        B = self.beam
+        prefixes = np.full((K, self.max_len + 1), pad, np.int32)
+        prefixes[:, 0] = eos                    # fairseq decoding starts at eos
+        slots = np.arange(K)
+        scores = prev_scores.copy()
+        lens = np.ones(K, np.int32)
+        finished = []
+
+        for step in range(self.max_len):
+            lp = np.asarray(self.mt_score_fn(
+                asr_tokens[slots], prefixes, lens), np.float64)   # [Kb, V]
+            lp[:, pad] = -np.inf
+            cum = scores[:, None] + lp
+            # finalize eos extensions (joint normalization over both stages)
+            total_len = asr_lens[slots] + lens
+            fin_scores = cum[:, eos] / np.maximum(
+                total_len, 1.0) ** self.len_penalty_2
+            for r in np.argsort(-fin_scores)[:B]:
+                if np.isfinite(fin_scores[r]):
+                    finished.append({
+                        "mt_tokens": prefixes[r, 1:lens[r]].tolist(),
+                        "score": float(fin_scores[r]),
+                        "asr_tokens": asr_hypos[slots[r]].tokens,
+                        "asr_score": float(asr_hypos[slots[r]].score),
+                    })
+            cum[:, eos] = -np.inf
+            flat = cum.reshape(-1)
+            V = lp.shape[1]
+            k = min(B, np.isfinite(flat).sum())
+            if k == 0:
+                break
+            top = np.argpartition(-flat, k - 1)[:k]
+            top = top[np.argsort(-flat[top])]
+            rows, toks = top // V, top % V
+            new_prefixes = prefixes[rows].copy()
+            new_prefixes[np.arange(k), lens[rows]] = toks
+            prefixes = new_prefixes
+            scores = flat[top]
+            slots = slots[rows]
+            lens = lens[rows] + 1
+            if finished:
+                best_fin = max(f["score"] for f in finished)
+                best_open = scores[0] / np.maximum(
+                    asr_lens[slots[0]] + lens[0], 1.0) ** self.len_penalty_2
+                if best_fin >= best_open and len(finished) >= B:
+                    break
+
+        finished.sort(key=lambda f: -f["score"])
+        # dedup identical (asr, mt) pairs, keep best
+        seen, out = set(), []
+        for f in finished:
+            key = (tuple(f["asr_tokens"]), tuple(f["mt_tokens"]))
+            if key not in seen:
+                seen.add(key)
+                out.append(f)
+        return out[:self.beam]
+
+
+def make_offline_greedy_decoder(model, vocab, main_context=None,
+                                right_context=None, max_len: int = 200):
+    """Jitted batched offline greedy transducer decode (validation BLEU).
+
+    One compiled graph: full-context blockwise encode + a while_loop of
+    cached-prefix greedy emissions (the in-graph twin of the per-utterance
+    generation the reference runs during validation,
+    rain/tasks/w2v2_s2s_task.py:199-236).  Returns (prefixes, lens).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    blank, pad = vocab.bos(), vocab.pad()
+
+    @jax.jit
+    def decode(params, source, padding_mask):
+        enc, enc_pad = model.apply(
+            {"params": params}, source, padding_mask, main_context,
+            right_context, False, method=type(model).encode)
+        if enc_pad is None:
+            enc_pad = jnp.zeros(enc.shape[:2], bool)
+        B = source.shape[0]
+        prefixes = jnp.full((B, max_len + 1), pad, jnp.int32)
+        prefixes = prefixes.at[:, 0].set(blank)
+        lens = jnp.ones(B, jnp.int32)
+
+        def cond(carry):
+            _, lens, blocked = carry
+            return ~jnp.all(blocked)
+
+        def body(carry):
+            prefixes, lens, blocked = carry
+            lp = model.apply({"params": params}, prefixes, lens, enc,
+                             enc_pad, method=type(model).decode_step)
+            lp = lp.at[:, pad].set(-jnp.inf)
+            tok = jnp.argmax(lp, axis=-1)
+            emit = (~blocked) & (tok != blank) & (lens < max_len)
+            prefixes = prefixes.at[jnp.arange(B), lens].set(
+                jnp.where(emit, tok.astype(prefixes.dtype),
+                          prefixes[jnp.arange(B), lens]))
+            lens = lens + emit.astype(lens.dtype)
+            return prefixes, lens, blocked | ~emit
+
+        prefixes, lens, _ = jax.lax.while_loop(
+            cond, body, (prefixes, lens, jnp.zeros(B, bool)))
+        return prefixes, lens
+
+    return decode
+
+
 def transducer_offline_decode(searcher, audio: np.ndarray,
                               intra_beam: int = 5, max_steps: int = 200):
     """Offline CAAT decode = one streaming search over the whole utterance

@@ -178,6 +178,56 @@ def jointer_kv_append(jk, jv, k_new, v_new, t0):
     return jk, jv
 
 
+def jointer_step_beam(params, cfg, h_last: jnp.ndarray, jk, jv,
+                      visible: jnp.ndarray) -> jnp.ndarray:
+    """Beam-batched jointer step sharing per-stream encoder K/V.
+
+    h_last: [N, B, D] LM states for B beams per stream; jk/jv: per-layer
+    tuples of [N, T_cap, D] (ONE copy per stream — the beams of a stream
+    attend the same revealed frames, so the cache is never tiled per beam);
+    visible: [N].  Returns [N, B, V] log-probs, same math as
+    ``jointer_step``.
+    """
+    c = cfg
+    D = c.jointer_embed_dim
+    H = c.jointer_attention_heads
+    Dh = D // H
+    t_cap = jk[0].shape[1]
+    N, B, _ = h_last.shape
+    bias = jnp.where(jnp.arange(t_cap)[None] < visible[:, None], 0.0,
+                     MASK_VALUE)                                  # [N, T]
+    x = h_last
+    for i in range(c.jointer_layers):
+        lp = params["jointer"][f"layer_{i}"]
+        att = lp["enc_attn"]
+        h = _ln(lp["attn_layer_norm"], x) if c.decoder_normalize_before else x
+        q = _dense(att["q_proj"], h).reshape(N, B, H, Dh)
+        k = jk[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
+        v = jv[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
+        logits = jnp.einsum("nbhd,nthd->nbht", q, k,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        logits = logits + bias[:, None, None, :]
+        p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("nbht,nthd->nbhd", p, v).reshape(N, B, D)
+        h = _dense(att["out_proj"], o)
+        x = x + h
+        if not c.decoder_normalize_before:
+            x = _ln(lp["attn_layer_norm"], x)
+        h = _ln(lp["final_layer_norm"], x) if c.decoder_normalize_before else x
+        h = jax.nn.relu(_dense(lp["fc1"], h))
+        h = _dense(lp["fc2"], h)
+        x = x + h
+        if not c.decoder_normalize_before:
+            x = _ln(lp["final_layer_norm"], x)
+
+    if c.share_input_output_embed:
+        logits = jnp.einsum("nbd,vd->nbv", x.astype(jnp.float32),
+                            params["embed_tokens"].astype(jnp.float32))
+    else:
+        logits = _dense(params["out_proj"], x.astype(jnp.float32))
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
 def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
                  visible: jnp.ndarray) -> jnp.ndarray:
     """Next-symbol log-probs from cached jointer K/V.

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from wav2vec_s_tpu.data.batching import bucket_for
-from wav2vec_s_tpu.models.feature_extractor import conv_output_length
+from wav2vec_s_tpu.models.feature_extractor import (
+    conv_output_length, conv_receptive_stride)
 
 
 class StreamingEngine:
@@ -42,7 +43,11 @@ class StreamingEngine:
         self.model = model
         self.params = params
         self.mc, self.rc = main_context, right_context
-        hop = 320
+        # frame accounting follows the model's conv stack (default: 320
+        # samples/frame), not a hardcoded hop
+        w2v_cfg = getattr(model, "w2v_cfg", None) or getattr(model, "cfg")
+        self.conv_layers = w2v_cfg.conv_feature_layers
+        _, hop = conv_receptive_stride(self.conv_layers)
         if audio_buckets is None:
             # one bucket per main-context step up to ~8s, then geometric
             step = self.mc * hop
@@ -86,7 +91,7 @@ class StreamingEngine:
         enc, enc_pad = self._encode(self.params, jnp.asarray(buf),
                                     jnp.asarray([n]), finished=finished)
         enc = np.asarray(enc[0])
-        t = conv_output_length(n)
+        t = conv_output_length(n, self.conv_layers)
         if not finished:
             t = max(t - self.rc, 0)
         return enc[:t], t
@@ -102,7 +107,7 @@ class StreamingEngine:
         toks = np.ones((K, U_pad), np.int32)  # pad=1
         toks[:, :U] = prefixes
         T = enc.shape[0]
-        S = bucket_for(max(T, 1), [conv_output_length(b)
+        S = bucket_for(max(T, 1), [conv_output_length(b, self.conv_layers)
                                    for b in self.audio_buckets])
         enc_buf = np.zeros((K, S, enc.shape[1]), enc.dtype)
         enc_buf[:, :T] = enc[None]

@@ -21,13 +21,90 @@ numpy arrays on the host.  The reference's incremental-state surgery
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from wav2vec_s_tpu.data.dictionary import Dictionary
 
 NINF = -np.inf
+
+
+def spm_style_vocab(vocab: Dictionary) -> bool:
+    """spm-style vocabs mark word starts with '▁'; plain word vocabs have a
+    boundary at every token."""
+    return any(s.startswith("▁")
+               for s in vocab.symbols[vocab.nspecial:vocab.nspecial + 500])
+
+
+def detok_pieces(vocab: Dictionary, tokenizer, ids) -> str:
+    pieces = [vocab[int(i)] for i in ids if int(i) >= vocab.nspecial]
+    if tokenizer is not None:
+        return tokenizer.decode(pieces)
+    return "".join(pieces).replace("▁", " ").strip()
+
+
+def merge_surface_scores(vocab: Dictionary, tokenizer, tokens: np.ndarray,
+                         scores: np.ndarray, merge_add: bool) -> np.ndarray:
+    """Dedup beams by detokenized surface string (searcher outer merge,
+    transducer_searcher.py:298-311): keep earliest, others -> -inf."""
+    strings = [detok_pieces(vocab, tokenizer, row) for row in tokens]
+    out = scores.copy()
+    for i in range(len(strings)):
+        if not np.isfinite(out[i]):
+            continue
+        for j in range(i + 1, len(strings)):
+            if np.isfinite(out[j]) and strings[i] == strings[j]:
+                out[i] = (np.logaddexp(out[i], out[j])
+                          if merge_add else max(out[i], out[j]))
+                out[j] = NINF
+    return out
+
+
+def lcp_emit(vocab: Dictionary, tokenizer, spm_style: bool, eager: bool,
+             toks: np.ndarray, out_pos: int, is_end: bool):
+    """Word-boundary-gated emission of the longest common prefix across
+    beams (emit_words, transducer_searcher.py:175-205).
+
+    toks: [B, U] kept beams, best first, right-padded.  Returns
+    (words, new_out_pos)."""
+    pad = vocab.pad()
+    if is_end:
+        ids = [t for t in toks[0] if t != pad]
+        out = detok_pieces(vocab, tokenizer, ids[out_pos:])
+        return out.split(), len(ids)
+
+    lens = (toks != pad).sum(1)
+    if toks.shape[0] == 1:
+        ident_pos = int(lens[0])
+    else:
+        neq = (toks != toks[:1]).any(0)
+        neq = np.cumsum(neq)
+        ident = (neq == 0) & (toks[0] != pad)
+        ident_pos = int(ident.sum())
+    ident_pos = max(ident_pos, out_pos)
+
+    ids = toks[0, out_pos:ident_pos].tolist()
+    if not ids:
+        return [], out_pos
+    if eager:
+        out = detok_pieces(vocab, tokenizer, ids)
+        return out.split(), ident_pos
+
+    # hold back the trailing (possibly partial) word: emit pieces up to the
+    # last word boundary among the agreed tokens
+    if spm_style:
+        boundary = 0
+        for k, i in enumerate(ids):
+            if int(i) >= vocab.nspecial and vocab[int(i)].startswith("▁"):
+                boundary = k  # words before this piece are complete
+    else:
+        # word-level vocab: every token is a word; hold back the last one
+        boundary = max(len(ids) - 1, 0)
+    if boundary == 0:
+        return [], out_pos
+    out = detok_pieces(vocab, tokenizer, ids[:boundary])
+    return out.split(), out_pos + boundary
 
 
 @dataclasses.dataclass
@@ -56,11 +133,7 @@ class StreamingTransducerSearcher:
         self.len_penalty = len_penalty
         self.eager = eager
         self.merge_add = merge_add
-        # spm-style vocabs mark word starts with '▁'; plain word vocabs have
-        # a boundary at every token
-        self._spm_style = any(
-            s.startswith("▁")
-            for s in vocab.symbols[vocab.nspecial:vocab.nspecial + 500])
+        self._spm_style = spm_style_vocab(vocab)
 
     def init_state(self) -> SearchState:
         return SearchState(
@@ -197,72 +270,16 @@ class StreamingTransducerSearcher:
         return state, words
 
     def _merge_surface(self, tokens, scores):
-        strings = [self._detok(row) for row in tokens]
-        out = scores.copy()
-        for i in range(len(strings)):
-            if not np.isfinite(out[i]):
-                continue
-            for j in range(i + 1, len(strings)):
-                if np.isfinite(out[j]) and strings[i] == strings[j]:
-                    out[i] = (np.logaddexp(out[i], out[j])
-                              if self.merge_add else max(out[i], out[j]))
-                    out[j] = NINF
-        return out
-
-    def _pieces(self, ids) -> List[str]:
-        return [self.vocab[int(i)] for i in ids
-                if int(i) >= self.vocab.nspecial]
+        return merge_surface_scores(self.vocab, self.tokenizer, tokens,
+                                    scores, self.merge_add)
 
     def _detok(self, ids) -> str:
-        pieces = self._pieces(ids)
-        if self.tokenizer is not None:
-            return self.tokenizer.decode(pieces)
-        return "".join(pieces).replace("▁", " ").strip()
+        return detok_pieces(self.vocab, self.tokenizer, ids)
 
     def _emit_words(self, state: SearchState, is_end: bool):
         """Longest common prefix across beams, word-boundary gated
         (emit_words, :175-205)."""
-        toks = state.prefixes
-        if is_end:
-            ids = [t for t in toks[0] if t != self.pad]
-            out = self._detok(ids[state.out_token_pos:])
-            state = dataclasses.replace(state, out_token_pos=len(ids))
-            return out.split(), state
-
-        lens = (toks != self.pad).sum(1)
-        if toks.shape[0] == 1:
-            ident_pos = int(lens[0])
-        else:
-            width = toks.shape[1]
-            neq = (toks != toks[:1]).any(0)
-            neq = np.cumsum(neq)
-            ident = (neq == 0) & (toks[0] != self.pad)
-            ident_pos = int(ident.sum())
-        ident_pos = max(ident_pos, state.out_token_pos)
-
-        ids = toks[0, state.out_token_pos:ident_pos].tolist()
-        if not ids:
-            return [], state
-        if self.eager:
-            out = self._detok(ids)
-            state = dataclasses.replace(state, out_token_pos=ident_pos)
-            return out.split(), state
-
-        # hold back the trailing (possibly partial) word: emit pieces up to
-        # the last word boundary among the agreed tokens
-        if self._spm_style:
-            boundary = 0
-            for k, i in enumerate(ids):
-                if int(i) >= self.vocab.nspecial and \
-                        self.vocab[int(i)].startswith("▁"):
-                    boundary = k  # words before this piece are complete
-        else:
-            # word-level vocab: every token is a word; hold back the last one
-            boundary = max(len(ids) - 1, 0)
-        if boundary == 0:
-            return [], state
-        emit_ids = ids[:boundary]
-        out = self._detok(emit_ids)
-        state = dataclasses.replace(
-            state, out_token_pos=state.out_token_pos + boundary)
-        return out.split(), state
+        words, out_pos = lcp_emit(self.vocab, self.tokenizer, self._spm_style,
+                                  self.eager, state.prefixes,
+                                  state.out_token_pos, is_end)
+        return words, dataclasses.replace(state, out_token_pos=out_pos)
