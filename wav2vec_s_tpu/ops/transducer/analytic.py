@@ -44,6 +44,26 @@ from wav2vec_s_tpu.ops.transducer.jnp_impl import (
 # "minus infinity" that survives a cumulative sum over the U axis in f32
 BLOCK = -1e9
 
+# lattice backend: "auto" selects the Pallas kernels on TPU (the optimized
+# twin of warp_transducer's fused CUDA pipeline) and the XLA row scans
+# elsewhere; "xla" / "pallas" force one.  ``interpret`` runs the Pallas
+# kernels in interpreter mode (CPU testing).
+_LATTICE_IMPL = "auto"
+_INTERPRET = False
+
+
+def set_lattice_impl(name: str, interpret: bool = False):
+    global _LATTICE_IMPL, _INTERPRET
+    assert name in ("auto", "xla", "pallas"), name
+    _LATTICE_IMPL = name
+    _INTERPRET = interpret
+
+
+def _pallas_on() -> bool:
+    if _LATTICE_IMPL == "auto":
+        return jax.default_backend() == "tpu"
+    return _LATTICE_IMPL == "pallas"
+
 
 def _lattice_masks(shape, act_lens, label_lens):
     B, T, U = shape
@@ -138,10 +158,17 @@ def delay_transducer_loss_vjp(acts, labels, act_lens, label_lens,
 def _fwd_impl(acts, labels, act_lens, label_lens, delay_values,
               delay_scale, blank):
     lp_blank, lp_emit = _lattice_log_probs(acts, labels, blank)
-    alphas = _alphas(lp_blank, lp_emit)
+    if _pallas_on():
+        from wav2vec_s_tpu.ops.transducer.pallas_kernel import (
+            pallas_alphas, pallas_expected_delay)
+        alphas = pallas_alphas(lp_blank, lp_emit, interpret=_INTERPRET)
+        ad = pallas_expected_delay(lp_blank, lp_emit, alphas, delay_values,
+                                   interpret=_INTERPRET)
+    else:
+        alphas = _alphas(lp_blank, lp_emit)
+        ad = _expected_delay(lp_blank, lp_emit, alphas, delay_values)
     ll = (_gather_final(alphas, act_lens, label_lens)
           + _gather_final(lp_blank, act_lens, label_lens))
-    ad = _expected_delay(lp_blank, lp_emit, alphas, delay_values)
     prob = -ll
     delay = _gather_final(ad, act_lens, label_lens)
     total = prob + delay_scale * delay
@@ -163,12 +190,25 @@ def _vjp_bwd(delay_scale, blank, temperature, saved, cots):
     ct, cp, cd = cots
     B, T, U, V = acts.shape
 
-    betas, lp_b_eff, t_valid, emit_ok = _betas(
-        lp_blank, lp_emit, act_lens, label_lens)
-    beta_down, beta_up = _beta_shifts(betas, label_lens)
-    bd, dv_edge = _expected_delay_bwd(
-        lp_blank, lp_emit, betas, beta_down, beta_up, delay_values,
-        t_valid, emit_ok)
+    if _pallas_on():
+        from wav2vec_s_tpu.ops.transducer.pallas_kernel import (
+            pallas_betas, pallas_expected_delay_bwd)
+        t_valid, emit_ok = _lattice_masks(lp_blank.shape, act_lens,
+                                          label_lens)
+        lp_b_eff = jnp.where(t_valid[:, :, None], lp_blank, 0.0)
+        betas = pallas_betas(lp_blank, lp_emit, act_lens, label_lens,
+                             interpret=_INTERPRET)
+        beta_down, beta_up = _beta_shifts(betas, label_lens)
+        bd, dv_edge = pallas_expected_delay_bwd(
+            lp_blank, lp_emit, betas, beta_down, beta_up, delay_values,
+            t_valid, emit_ok, interpret=_INTERPRET)
+    else:
+        betas, lp_b_eff, t_valid, emit_ok = _betas(
+            lp_blank, lp_emit, act_lens, label_lens)
+        beta_down, beta_up = _beta_shifts(betas, label_lens)
+        bd, dv_edge = _expected_delay_bwd(
+            lp_blank, lp_emit, betas, beta_down, beta_up, delay_values,
+            t_valid, emit_ok)
 
     E = delay[:, None, None]
     llb = ll[:, None, None]

@@ -42,6 +42,121 @@ def _prefix_lse_lanes(z, u_pad):
     return z
 
 
+def _affine_prefix_lanes(a, b, u_pad):
+    """Inclusive affine prefix x_u = a_u x_{u-1} + b_u along lanes.
+
+    Hillis-Steele over the combine (a2, b2)∘(a1, b1) = (a2 a1, a2 b1 + b2)
+    with identity (1, 0) rolled in at the low lanes.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    shift = 1
+    while shift < u_pad:
+        a_sh = jnp.where(lane < shift, 1.0, pltpu.roll(a, shift, axis=1))
+        b_sh = jnp.where(lane < shift, 0.0, pltpu.roll(b, shift, axis=1))
+        b = a * b_sh + b
+        a = a * a_sh
+        shift *= 2
+    return b
+
+
+def _affine_rows_kernel(a_ref, pb_ref, c_ref, x_ref, carry, *, u_pad):
+    """x(t, u) = a(t, u) x(t, u-1) + pb(t, u) x(t-1, u) + c(t, u).
+
+    Same sequential-grid/carry-row structure as ``_alphas_kernel`` — the
+    Mosaic twin of the expected-delay recursions
+    (warp_transducer delay_transducer.h:51-97): probability-space affine
+    scans instead of log-space prefix-LSE.
+    """
+    t_idx = pl.program_id(1)
+
+    @pl.when(t_idx == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    a = a_ref[:].astype(jnp.float32)
+    pb = pb_ref[:].astype(jnp.float32)
+    c = c_ref[:].astype(jnp.float32)
+    prev = carry[0:1, :]
+    for r in range(ROWS):
+        b_row = pb[r:r + 1, :] * prev + c[r:r + 1, :]
+        x_row = _affine_prefix_lanes(a[r:r + 1, :], b_row, u_pad)
+        x_ref[r:r + 1, :] = x_row.astype(x_ref.dtype)
+        prev = x_row
+    carry[0:1, :] = prev
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_affine_rows(a, pb, c, interpret: bool = False):
+    """Run the affine row recursion over [B, T, U] inputs (zero carry)."""
+    B, T, U = a.shape
+    u_pad = max(-(-U // 128) * 128, 128)
+    t_pad = -(-T // ROWS) * ROWS
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - T), (0, u_pad - U)))
+
+    kernel = functools.partial(_affine_rows_kernel, u_pad=u_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, t_pad // ROWS),
+        in_specs=[
+            pl.BlockSpec((None, ROWS, u_pad), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((None, ROWS, u_pad), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, u_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, u_pad), jnp.float32)],
+        interpret=interpret,
+    )(pad(a), pad(pb), pad(c))
+    return out[:, :T, :U]
+
+
+def pallas_expected_delay(lp_blank, lp_emit, alphas, delay_values,
+                          interpret: bool = False):
+    """``jnp_impl._expected_delay`` with the row scan in Pallas.
+
+    The transition probabilities (pe, pb) are elementwise XLA work; only
+    the sequential affine recursion runs in the kernel.
+    """
+    B, T, U = lp_blank.shape
+    pe_arg = jnp.pad(alphas[:, :, :-1] + lp_emit[:, :, :-1],
+                     ((0, 0), (0, 0), (1, 0)), constant_values=-jnp.inf)
+    pe = jnp.exp(jnp.minimum(pe_arg - alphas, 0.0))
+    pe = pe.at[:, :, 0].set(0.0)
+    pb = jnp.zeros_like(pe)
+    if T > 1:
+        pb_arg = alphas[:, :-1, :] + lp_blank[:, :-1, :] - alphas[:, 1:, :]
+        pb = pb.at[:, 1:, :].set(jnp.exp(jnp.minimum(pb_arg, 0.0)))
+
+    # row 0 is a pure emission chain: a = 1 (u > 0), c = dv(0, u)
+    lane_pos = (jnp.arange(U) > 0).astype(jnp.float32)[None, :]
+    a = pe.at[:, 0, :].set(lane_pos)
+    c = pe * delay_values
+    c = c.at[:, 0, :].set(lane_pos * delay_values[:, 0, :])
+    return pallas_affine_rows(a, pb, c, interpret=interpret)
+
+
+def pallas_expected_delay_bwd(lp_blank, lp_emit, betas, beta_down, beta_up,
+                              delay_values, t_valid, emit_ok,
+                              interpret: bool = False):
+    """``analytic._expected_delay_bwd`` with the reverse row scan in Pallas:
+    flipping both lattice axes turns the reverse recursion into the forward
+    affine-rows kernel (zero initial carry = the virtual bd row at t = T)."""
+    from wav2vec_s_tpu.ops.transducer.analytic import BLOCK
+
+    lp_b_eff = jnp.where(t_valid[:, :, None], lp_blank, 0.0)
+    pb = jnp.exp(jnp.minimum(beta_down + lp_b_eff - betas, 0.0))
+    pe_arg = jnp.where(emit_ok, beta_up + lp_emit - betas, BLOCK)
+    pe = jnp.exp(jnp.minimum(pe_arg, 0.0))
+    dv_edge = jnp.pad(delay_values[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+
+    flip = lambda x: jnp.flip(x, axis=(1, 2))
+    bd = flip(pallas_affine_rows(flip(pe), flip(pb), flip(pe * dv_edge),
+                                 interpret=interpret))
+    return bd, dv_edge
+
+
 def _alphas_kernel(lpb_ref, ecum_ref, alphas_ref, carry, *, u_pad, t_tiles):
     t_idx = pl.program_id(1)
 
