@@ -243,7 +243,12 @@ class BlockwiseTransformerEncoder(nn.Module):
 
         layout = block_layout(T + pad_len, mc, rc)
         x = append_right_context(x, layout)
-        if c.attention_impl == "flash" and not train:
+        # flash path: inference always; training too via the custom_vjp
+        # backward kernel — except with attention dropout, which the kernel
+        # does not implement (fall back to dense XLA attention then)
+        use_flash = c.attention_impl == "flash" and (
+            not train or c.attention_dropout == 0.0)
+        if use_flash:
             from wav2vec_s_tpu.models.modules import FlashSpec
             bias = FlashSpec(extend_padding_mask(pm, layout),
                              T + pad_len, mc, rc)
