@@ -63,8 +63,46 @@ def expected_alignment(p: jnp.ndarray, src_pad: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(alphas, 0, 2)        # [B, H, U, S]
 
 
+def hard_pointers(p_sel: jnp.ndarray, visible: jnp.ndarray,
+                  is_end: jnp.ndarray):
+    """Hard monotonic READ/WRITE pointer walk (inference).
+
+    Twin of the fairseq monotonic-attention inference the reference agent
+    drives (rain/simul/mma_agent.py:57-75 via ``outputs.action``): per
+    target step each head advances its read pointer while p < 0.5,
+    starting from the previous step's pointer.  A head that runs past the
+    ``visible`` frames without stopping is *stuck* (action = READ) unless
+    the stream has ended (then it attends up to the last visible frame).
+
+    p_sel: [B, H, U, S] deterministic selection probs; visible: [B];
+    is_end: [B].  Returns (ptrs [B, H, U] int32, stuck [B, H, U] bool).
+    """
+    B, H, U, S = p_sel.shape
+    iota_s = jnp.arange(S)[None, None, :]
+    vis = visible[:, None, None]
+
+    def step(ptr_prev, p_u):                        # ptr_prev [B, H]
+        can = (p_u >= 0.5) & (iota_s >= ptr_prev[..., None]) & (iota_s < vis)
+        has = can.any(-1)
+        first = jnp.argmax(can, -1).astype(jnp.int32)
+        fallback = jnp.maximum(visible[:, None] - 1, 0).astype(jnp.int32)
+        ptr = jnp.where(has, first, fallback)
+        stuck = ~has & ~is_end[:, None]
+        return ptr, (ptr, stuck)
+
+    ptr0 = jnp.zeros((B, H), jnp.int32)
+    _, (ptrs, stucks) = jax.lax.scan(step, ptr0, jnp.moveaxis(p_sel, 2, 0))
+    return jnp.moveaxis(ptrs, 0, 2), jnp.moveaxis(stucks, 0, 2)
+
+
 class MonotonicCrossAttention(nn.Module):
-    """One decoder cross-attention with monotonic heads + infinite lookback."""
+    """One decoder cross-attention with monotonic heads + infinite lookback.
+
+    ``hard=True`` switches from the training-time expected alignment to
+    hard monotonic inference: pointers from ``hard_pointers`` and soft
+    lookback attention over frames s <= pointer (MILk inference); the
+    second return value is then ``(ptrs, stuck)`` instead of ``alpha``.
+    """
 
     embed_dim: int
     num_heads: int
@@ -73,7 +111,8 @@ class MonotonicCrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, enc, src_pad, train: bool = False):
+    def __call__(self, x, enc, src_pad, train: bool = False,
+                 hard: bool = False, visible=None, is_end=None):
         D, H = self.embed_dim, self.num_heads
         Dh = D // H
         B, U, _ = x.shape
@@ -100,15 +139,31 @@ class MonotonicCrossAttention(nn.Module):
             energy = energy + self.noise_std * jax.random.normal(
                 self.make_rng("mono_noise"), energy.shape)
         p_sel = jax.nn.sigmoid(energy)
-        alpha = expected_alignment(p_sel, src_pad)            # [B,H,U,S]
 
-        # infinite-lookback soft attention: frame s may be attended by step u
-        # with weight ~ softmax(energy) over positions <= aligned position;
-        # expectation over alpha gives beta.
         soft = (jnp.einsum("bhud,bhsd->bhus", q, k,
                            preferred_element_type=jnp.float32)
                 * (Dh ** -0.5))
         soft = jnp.where(src_pad[:, None, None, :], MASK_VALUE, soft)
+
+        if hard:
+            ptrs, stuck = hard_pointers(p_sel, visible, is_end)
+            allowed = ((jnp.arange(S)[None, None, None, :]
+                        <= ptrs[..., None])
+                       & (jnp.arange(S)[None, None, None, :]
+                          < visible[:, None, None, None]))
+            # guard: keep frame 0 attendable so softmax stays defined
+            allowed = allowed.at[..., 0].set(
+                allowed[..., 0] | ~allowed.any(-1))
+            hsoft = jnp.where(allowed, soft, MASK_VALUE)
+            beta = jax.nn.softmax(hsoft, axis=-1)
+            out = jnp.einsum("bhus,bhsd->bhud", beta.astype(v.dtype), v)
+            out = out.transpose(0, 2, 1, 3).reshape(B, U, D)
+            return dense("out_proj")(out), (ptrs, stuck)
+
+        alpha = expected_alignment(p_sel, src_pad)            # [B,H,U,S]
+        # infinite-lookback soft attention: frame s may be attended by step u
+        # with weight ~ softmax(energy) over positions <= aligned position;
+        # expectation over alpha gives beta.
         # beta(s) = sum_{t >= s} alpha(t) softmax_{<=t}(soft)(s)
         exp_soft = jnp.exp(soft - soft.max(-1, keepdims=True))
         cum = jnp.cumsum(exp_soft, axis=-1)
@@ -126,7 +181,8 @@ class MMADecoderLayer(nn.Module):
     cfg: CaatConfig
 
     @nn.compact
-    def __call__(self, x, enc, src_pad, self_bias, train=False):
+    def __call__(self, x, enc, src_pad, self_bias, train=False,
+                 hard=False, visible=None, is_end=None):
         from wav2vec_s_tpu.models.modules import MultiheadSelfAttention
 
         c = self.cfg
@@ -141,7 +197,8 @@ class MMADecoderLayer(nn.Module):
         x = x + h
         h, alpha = MonotonicCrossAttention(
             D, c.decoder_attention_heads, dtype=c.compute_dtype,
-            name="encoder_attn")(ln_c(x), enc, src_pad, train)
+            name="encoder_attn")(ln_c(x), enc, src_pad, train,
+                                 hard=hard, visible=visible, is_end=is_end)
         x = x + h
         h = nn.Dense(c.decoder_ffn_embed_dim, dtype=c.compute_dtype,
                      name="fc1")(ln_f(x))
@@ -167,16 +224,15 @@ class MMAModel(nn.Module):
                        for i in range(c.decoder_layers)]
         self.final_ln = LayerNorm(c.decoder_embed_dim)
 
-    def __call__(self, source, prev_tokens, padding_mask=None, train=False):
-        """-> (logits [B, U, V], alphas [L, B, H, U, S])."""
-        c = self.cfg
-        enc, enc_pad = self.encoder.extract_features(
-            source, padding_mask, train=train)
-        if enc_pad is None:
-            enc_pad = jnp.zeros(enc.shape[:2], bool)
+    def encode(self, source, padding_mask=None, main_context=None,
+               right_context=None, train=False):
+        return self.encoder.extract_features(
+            source, padding_mask, main_context, right_context, train)
 
+    def _embed_prev(self, prev_tokens):
+        c = self.cfg
         D = c.decoder_embed_dim
-        B, U = prev_tokens.shape
+        U = prev_tokens.shape[1]
         x = self.embed_tokens.astype(c.compute_dtype)[prev_tokens] * D ** 0.5
         pad_mask = prev_tokens == c.pad
         nonpad = ~pad_mask
@@ -187,7 +243,16 @@ class MMAModel(nn.Module):
         causal = jnp.triu(jnp.full((U, U), MASK_VALUE, jnp.float32), k=1)
         self_bias = (causal[None, None]
                      + jnp.where(pad_mask, MASK_VALUE, 0.0)[:, None, None, :])
+        return x, self_bias
 
+    def __call__(self, source, prev_tokens, padding_mask=None, train=False):
+        """-> (logits [B, U, V], alphas [L, B, H, U, S])."""
+        enc, enc_pad = self.encoder.extract_features(
+            source, padding_mask, train=train)
+        if enc_pad is None:
+            enc_pad = jnp.zeros(enc.shape[:2], bool)
+
+        x, self_bias = self._embed_prev(prev_tokens)
         alphas = []
         for layer in self.layers:
             x, a = layer(x, enc, enc_pad, self_bias, train)
@@ -196,6 +261,42 @@ class MMAModel(nn.Module):
         logits = jnp.einsum("bud,vd->buv", x.astype(jnp.float32),
                             self.embed_tokens.astype(jnp.float32))
         return logits, jnp.stack(alphas)
+
+    def hard_decode_step(self, prev_tokens, token_lens, enc, enc_pad,
+                         visible, is_end):
+        """Streaming inference scoring with hard monotonic attention.
+
+        The reference runs the fairseq monotonic decoder incrementally and
+        reads ``outputs.action`` (rain/simul/mma_agent.py:57-75); here the
+        decoder is recomputed over the padded prefix at static shapes and
+        the action falls out of the pointer walk (stuck heads => READ).
+        Pointer recompute is consistent across calls: a head's first
+        p >= 0.5 crossing does not change as more source is revealed.
+
+        Args:
+          prev_tokens: [B, U_pad] right-padded prefixes (eos/bos first).
+          token_lens:  [B] true prefix lengths.
+          enc:         [B, S, D] encoder states; enc_pad: [B, S] pad mask.
+          visible:     [B] number of revealed frames; is_end: [B].
+        Returns (logits [B, V] at the last position, need_more [B]).
+        """
+        x, self_bias = self._embed_prev(prev_tokens)
+        B = prev_tokens.shape[0]
+        bi = jnp.arange(B)
+        need_more = jnp.zeros(B, bool)
+        for layer in self.layers:
+            x, (ptrs, stuck) = layer(x, enc, enc_pad, self_bias,
+                                     train=False, hard=True, visible=visible,
+                                     is_end=is_end)
+            # only the decision at the last (current) position matters
+            stuck_last = jnp.take_along_axis(
+                stuck, (token_lens - 1)[:, None, None], axis=2)[..., 0]
+            need_more |= stuck_last.any(-1)
+        x = self.final_ln(x)
+        h_last = x[bi, token_lens - 1]
+        logits = jnp.einsum("bd,vd->bv", h_last.astype(jnp.float32),
+                            self.embed_tokens.astype(jnp.float32))
+        return logits, need_more
 
 
 def latency_loss(alphas: jnp.ndarray, src_lens, tgt_pad) -> jnp.ndarray:
