@@ -84,6 +84,9 @@ class CaatBatcher:
     target_buckets: Sequence[int] = (16, 32, 64, 128)
     task_type: str = "st"              # "st" -> tgt_text, "asr" -> src_text
     normalize: bool = False
+    features: str = "raw"              # "raw" waveform | "fbank" log-mel
+    # (rain st_raw_audio_triple_dataset serves both: raw for w2v2 models,
+    # fbank via audio_encoder transforms for the fbank family)
 
     def encode_target(self, idx: int) -> List[int]:
         text = (self.manifest.tgt_texts[idx] if self.task_type != "asr"
@@ -98,13 +101,17 @@ class CaatBatcher:
             wav = read_audio(self.manifest.audio_paths[i])
             if self.normalize:
                 wav = instance_normalize(wav)
+            if self.features == "fbank":
+                from wav2vec_s_tpu.data.audio import logmel_fbank
+                wav = logmel_fbank(wav)               # [T_frames, 80]
             wavs.append(wav)
             targets.append(np.asarray(self.encode_target(i), np.int64))
 
         S = bucket_for(max(len(w) for w in wavs), self.audio_buckets)
         U = bucket_for(max(len(t) for t in targets), self.target_buckets)
         B = len(wavs)
-        src = np.zeros((B, S), np.float32)
+        feat_shape = (S,) if wavs[0].ndim == 1 else (S, wavs[0].shape[1])
+        src = np.zeros((B,) + feat_shape, np.float32)
         pad_mask = np.ones((B, S), bool)
         tgt = np.full((B, U), self.tgt_dict.pad(), np.int32)
         for r, (w, t) in enumerate(zip(wavs, targets)):

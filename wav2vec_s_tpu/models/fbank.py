@@ -82,7 +82,71 @@ class Vgg2dConv(nn.Module):
             x.reshape(B, T4, F4 * C))
 
 
-CONV_FRONTENDS = {"shallow2d": Shallow2dConv, "vgg2d": Vgg2dConv}
+class ResNetBasicBlock(nn.Module):
+    """3x3-3x3 residual block (audio_convs.py:227-258 ``BasicBlock``).
+
+    BatchNorm2d becomes GroupNorm: batch-size independent and stateless
+    under jit/SPMD — no mutable running-stats collection to thread through
+    the functional train step (the TPU-first trade; same normalization
+    role).
+    """
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda s, n: nn.Conv(self.planes, (3, 3), strides=(s, s),
+                                    padding="SAME", use_bias=False,
+                                    dtype=self.dtype, name=n)
+        gn = lambda n: nn.GroupNorm(num_groups=min(32, self.planes),
+                                    dtype=self.dtype, name=n)
+        out = jax.nn.relu(gn("bn1")(conv(self.stride, "conv1")(x)))
+        out = gn("bn2")(conv(1, "conv2")(out))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.GroupNorm(num_groups=min(32, self.planes),
+                             dtype=self.dtype, name="down_bn")(
+                nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, dtype=self.dtype,
+                        name="down_conv")(x))
+        return jax.nn.relu(out + x)
+
+
+class ResNetConv(nn.Module):
+    """ResNet conv front-end (audio_convs.py:296-371 ``ResNet`` /
+    ``Resnet_Base``): 3x3 stem then stages of BasicBlocks, stride 2 per
+    stage (4x time downsample for the base config), flattened channels x
+    mel projected to ``out_dim``."""
+
+    out_dim: int = 768
+    channels: int = 64                         # stem width
+    res_config: tuple = ((64, 2, 4), (128, 2, 4))   # RESNET_CONFIG_BASE
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        x = feats[:, :, :, None]                          # [B, T, F, 1]
+        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = jax.nn.relu(nn.GroupNorm(num_groups=min(32, self.channels),
+                                     dtype=self.dtype, name="bn1")(x))
+        for si, (planes, stride, nlayers) in enumerate(self.res_config):
+            for li in range(nlayers):
+                x = ResNetBasicBlock(
+                    planes, stride if li == 0 else 1, dtype=self.dtype,
+                    name=f"stage_{si}_block_{li}")(x)
+        B, T4, F4, C = x.shape
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="out_proj")(
+            x.reshape(B, T4, F4 * C))
+
+
+def resnet_small(out_dim=768, **kw):
+    return ResNetConv(out_dim, res_config=((64, 2, 2), (128, 2, 2)), **kw)
+
+
+CONV_FRONTENDS = {"shallow2d": Shallow2dConv, "vgg2d": Vgg2dConv,
+                  "resnet": ResNetConv, "resnet_small": resnet_small}
 
 
 def downsample_mask(padding_mask, t_out):
@@ -210,3 +274,22 @@ class FbankCaatModel(nn.Module):
         else:
             glens = jnp.ones(enc.shape[0], jnp.int32)
         return joint, glens
+
+    def encode(self, feats, padding_mask=None, main_context=None,
+               right_context=None, train=False):
+        return self.encoder(feats, padding_mask, main_context,
+                            right_context, train)
+
+    def decode_step(self, prev_tokens, token_lens, enc, enc_pad):
+        """Next-symbol log-probs (same recompute contract as
+        ``W2V2CaatModel.decode_step``) — gives the fbank family the same
+        streaming/validation decode surface."""
+        h_lm = self.decoder_lm(prev_tokens, train=False,
+                               embed_matrix=self.embed_tokens)
+        k = jnp.arange(h_lm.shape[0])
+        h_last = h_lm[k, token_lens - 1][:, None]          # [K, 1, D]
+        joint = self.jointer(h_last, enc, enc_pad, downsample=-1,
+                             deterministic=True)           # [K, 1, 1, D]
+        logits = jnp.einsum("...d,vd->...v", joint[:, 0, 0].astype(
+            jnp.float32), self.embed_tokens.astype(jnp.float32))
+        return jax.nn.log_softmax(logits, axis=-1)
