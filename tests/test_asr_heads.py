@@ -67,6 +67,55 @@ def test_seq2seq_forward_and_beam():
                for i in range(len(hypos) - 1))
 
 
+def test_two_stage_joint_generator():
+    """StageGenerator twin: stage-1 ASR beam feeds a joint stage-2 beam.
+
+    The mt scorer here conditions on each beam slot's transcript via the
+    seq2seq decoder over transcript embeddings (enough to pin the joint
+    mechanics: slot carrying, score carryover, combined-length norm)."""
+    from wav2vec_s_tpu.eval.generator import TwoStageJointGenerator
+
+    model = Wav2Vec2Seq2Seq(W2V_TINY, CAAT_TINY)
+    src = jax.random.normal(jax.random.PRNGKey(1), (1, 2400))
+    prev = jnp.asarray([[2, 5, 6, 7]], jnp.int32)
+    variables = model.init(_rngs(), src, prev, train=False)
+    params = variables["params"]
+    vocab = Dictionary()
+    for i in range(CAAT_TINY.vocab_size - vocab.nspecial):
+        vocab.add_symbol(f"w{i}")
+    asr_gen = Seq2SeqBeamGenerator(model, params, vocab, beam_size=3,
+                                   max_len_b=6)
+
+    embed = np.asarray(params["embed_tokens"]
+                       if "embed_tokens" in params else
+                       params["decoder"]["embed_tokens"])
+
+    def mt_score_fn(asr_tokens, prev_mt, lens):
+        enc = jnp.asarray(embed)[np.asarray(asr_tokens)]
+        enc_pad = jnp.asarray(asr_tokens == vocab.pad())
+        logits = model.apply({"params": params}, jnp.asarray(prev_mt), enc,
+                             enc_pad, method=Wav2Vec2Seq2Seq.decode_logits)
+        k = jnp.arange(prev_mt.shape[0])
+        return jax.nn.log_softmax(logits[k, jnp.asarray(lens) - 1], -1)
+
+    gen = TwoStageJointGenerator(asr_gen.generate, mt_score_fn, vocab,
+                                 beam_size=3, max_len=6)
+    out = gen.generate(np.asarray(src))
+    assert out, "no joint hypotheses"
+    assert all(np.isfinite(f["score"]) for f in out)
+    assert all(out[i]["score"] >= out[i + 1]["score"]
+               for i in range(len(out) - 1))
+    asr_set = {tuple(h.tokens) for h in asr_gen.generate(np.asarray(src))}
+    assert all(tuple(f["asr_tokens"]) in asr_set for f in out)
+
+    # asr_1best: every joint hypothesis conditions on the best transcript
+    gen1 = TwoStageJointGenerator(asr_gen.generate, mt_score_fn, vocab,
+                                  beam_size=3, max_len=6, asr_1best=True)
+    out1 = gen1.generate(np.asarray(src))
+    best = asr_gen.generate(np.asarray(src))[0].tokens
+    assert all(f["asr_tokens"] == best for f in out1)
+
+
 def test_transducer_offline_decode_runs():
     from tests.test_streaming import _tiny_caat
     from wav2vec_s_tpu.stream.engine import StreamingEngine
