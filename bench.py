@@ -126,10 +126,118 @@ def agent_bench(decision_step: int, n_streams: int = 128,
     return n_streams * seconds * iters / dt
 
 
+def train_bench(attention_impl: str = "dense", B: int = 8,
+                seconds: float = 10.0, U: int = 40, iters: int = 5):
+    """CAAT fine-tune train step (base dims): updates/s + est. MFU.
+
+    All dropout off so the dense- vs flash-attention comparison is
+    apples-to-apples (the flash kernel has no in-kernel dropout and the
+    encoder falls back to dense otherwise).
+    """
+    import os
+
+    from wav2vec_s_tpu.models import wav2vec_s_base_config
+    from wav2vec_s_tpu.models.caat import CaatConfig, W2V2CaatModel
+    from wav2vec_s_tpu.train.optim import OptimConfig, build_optimizer
+    from wav2vec_s_tpu.train.recipes import make_caat_loss_fn
+    from wav2vec_s_tpu.train.step import TrainState, make_train_step
+
+    w2v = wav2vec_s_base_config(
+        dtype="bfloat16", encoder_layerdrop=0.0,
+        attention_impl=attention_impl, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0)
+    caat = CaatConfig(dtype="bfloat16", dropout=0.0, attention_dropout=0.0,
+                      activation_dropout=0.0)
+    model = W2V2CaatModel(w2v, caat)
+
+    S = int(seconds * 16000)
+    src = jax.random.normal(jax.random.PRNGKey(0), (B, S), jnp.float32)
+    tgt = np.random.default_rng(0).integers(4, caat.vocab_size, (B, U))
+    tgt[:, -1] = caat.eos
+    tgt = jnp.asarray(tgt, jnp.int32)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), caat.bos, jnp.int32), tgt], axis=1)
+
+    rngs = {n: jax.random.PRNGKey(i) for i, n in enumerate(
+        ["params", "dropout", "gumbel", "negatives", "layerdrop",
+         "rand_pos"])}
+    variables = jax.jit(lambda: model.init(rngs, src[:1], prev[:1],
+                                           train=False))()
+    opt = build_optimizer(OptimConfig(lr=1e-4, warmup_updates=100))
+    state = TrainState.create(variables["params"], opt)
+    loss_fn = make_caat_loss_fn(model, caat, main_context=16,
+                                right_context=8)
+    step = jax.jit(make_train_step(loss_fn, opt), donate_argnums=0)
+    batch = {"source": src, "targets": tgt}
+
+    flops = None
+    try:
+        ca = step.lower(state, batch, jax.random.PRNGKey(1)
+                        ).compile().cost_analysis()
+        if ca:
+            ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca0.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    state, logs = step(state, batch, jax.random.PRNGKey(1))
+    float(logs["loss_total"])                 # compile + warmup sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
+        loss = float(logs["loss_total"])      # host sync per step
+    dt = time.perf_counter() - t0
+    assert loss == loss, "NaN loss in train bench"
+    ups = iters / dt
+    peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
+    mfu = (flops * ups / peak) if flops else None
+    return {
+        "updates_per_sec": round(ups, 3),
+        "audio_sec_per_sec": round(B * seconds * ups, 2),
+        "est_mfu": round(mfu, 4) if mfu is not None else None,
+    }
+
+
+def lattice_bench(impl: str, B=16, T=32, U=65, V=512, iters=10):
+    """Delay-transducer loss fwd+bwd: XLA row scans vs Pallas kernels."""
+    from wav2vec_s_tpu.ops.transducer import analytic
+    from wav2vec_s_tpu.ops.transducer.jnp_impl import (
+        delay_cost_diag_positive)
+
+    acts = jax.random.normal(jax.random.PRNGKey(0), (B, T, U, V),
+                             jnp.float32)
+    labels = jnp.asarray(
+        np.random.default_rng(0).integers(1, V, (B, U - 1)), jnp.int32)
+    al = jnp.full((B,), T, jnp.int32)
+    ll = jnp.full((B,), U - 1, jnp.int32)
+    dv = delay_cost_diag_positive((B, T, U), al, ll)
+
+    def loss(a):
+        total, _, _ = analytic.delay_transducer_loss_vjp(
+            a, labels, al, ll, dv, 1.0, 0, 1.0)
+        return jnp.sum(total)
+
+    analytic.set_lattice_impl(impl)
+    try:
+        g = jax.jit(jax.grad(loss))
+        float(jnp.sum(g(acts)))               # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(jnp.sum(g(acts)))
+        dt = time.perf_counter() - t0
+    finally:
+        analytic.set_lattice_impl("auto")
+    return dt / iters * 1000.0                # ms / fwd+bwd
+
+
 def main():
     agent_ds2 = agent_bench(decision_step=2)
     agent_ds10 = agent_bench(decision_step=10)
     enc = encoder_bench()
+    train_dense = train_bench("dense")
+    train_flash = train_bench("flash")
+    lat_xla = lattice_bench("xla")
+    lat_pal = lattice_bench("pallas")
     print(json.dumps({
         "metric": "streaming_agent_throughput_ds2",
         "value": round(agent_ds2, 2),
@@ -138,6 +246,10 @@ def main():
         "extras": {
             "streaming_agent_throughput_ds10": round(agent_ds10, 2),
             "blockwise_encode_throughput": round(enc, 2),
+            "train_step_dense_attn": train_dense,
+            "train_step_flash_attn": train_flash,
+            "transducer_loss_ms_xla": round(lat_xla, 2),
+            "transducer_loss_ms_pallas": round(lat_pal, 2),
         },
     }))
 
