@@ -126,6 +126,42 @@ def agent_bench(decision_step: int, n_streams: int = 128,
     return n_streams * seconds * iters / dt
 
 
+def beam_bench(n_streams: int = 32, seconds: float = 10.0,
+               beam: int = 5, max_steps: int = 8, max_len: int = 64):
+    """Quality path: batched streaming BEAM decode at intra-beam 5
+    (the published eval operating point, eval_wav2vec_s_caat_st.sh).
+
+    ``max_len`` mirrors the reference agent's length cap (max_len_a *
+    frames ~ 48 tokens for 10 s audio): random weights emit greedily to
+    the cap, so an uncapped run measures an unrepresentative 250-token
+    LM recompute width."""
+    from wav2vec_s_tpu.data.dictionary import Dictionary
+    from wav2vec_s_tpu.stream.beam_batched import BatchedBeamStreamingDecoder
+
+    model, params, w2v, caat = _build_caat()
+    vocab = Dictionary()
+    for i in range(caat.vocab_size - vocab.nspecial):
+        vocab.add_symbol(f"w{i}")
+
+    S = int(seconds * 16000)
+    frames = (S - 400) // 320 + 1
+    t_cap = -(-(frames + w2v.right_context) // 128) * 128
+    dec = BatchedBeamStreamingDecoder(
+        model, params, vocab, w2v, beam_size=beam, inter_beam=1,
+        max_steps=max_steps, max_len=max_len, eager=True, t_cap=t_cap,
+        blocks_per_step=2)
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(S).astype(np.float32) * 0.1
+            for _ in range(n_streams)]
+    dec.decode_corpus(wavs)  # compile + warmup
+
+    t0 = time.perf_counter()
+    texts, _ = dec.decode_corpus(wavs)
+    dt = time.perf_counter() - t0
+    assert any(texts), "beam decoder emitted nothing"
+    return n_streams * seconds / dt
+
+
 def train_bench(attention_impl: str = "dense", B: int = 8,
                 seconds: float = 10.0, U: int = 40, iters: int = 5):
     """CAAT fine-tune train step (base dims): updates/s + est. MFU.
@@ -234,6 +270,7 @@ def main():
     agent_ds2 = agent_bench(decision_step=2)
     agent_ds10 = agent_bench(decision_step=10)
     enc = encoder_bench()
+    beam5 = beam_bench()
     train_dense = train_bench("dense")
     train_flash = train_bench("flash")
     lat_xla = lattice_bench("xla")
@@ -246,6 +283,7 @@ def main():
         "extras": {
             "streaming_agent_throughput_ds10": round(agent_ds10, 2),
             "blockwise_encode_throughput": round(enc, 2),
+            "streaming_beam5_throughput": round(beam5, 2),
             "train_step_dense_attn": train_dense,
             "train_step_flash_attn": train_flash,
             "transducer_loss_ms_xla": round(lat_xla, 2),

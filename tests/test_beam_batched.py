@@ -41,16 +41,17 @@ def test_jointer_step_beam_matches_flat():
     D = caat.jointer_embed_dim
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.standard_normal((N, B, D)), jnp.float32)
-    jk = tuple(jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    # caches are time-major [T, N, D]
+    jk = tuple(jnp.asarray(rng.standard_normal((T, N, D)), jnp.float32)
                for _ in range(caat.jointer_layers))
-    jv = tuple(jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    jv = tuple(jnp.asarray(rng.standard_normal((T, N, D)), jnp.float32)
                for _ in range(caat.jointer_layers))
     visible = jnp.asarray([5, 8], jnp.int32)
 
     got = caat_step.jointer_step_beam(params, caat, h, jk, jv, visible)
-    # flat reference: tile caches per beam
-    jk_f = tuple(jnp.repeat(k, B, axis=0) for k in jk)
-    jv_f = tuple(jnp.repeat(v, B, axis=0) for v in jv)
+    # flat reference: tile caches per beam along the stream axis
+    jk_f = tuple(jnp.repeat(k, B, axis=1) for k in jk)
+    jv_f = tuple(jnp.repeat(v, B, axis=1) for v in jv)
     want = caat_step.jointer_step(
         params, caat, h.reshape(N * B, D), jk_f, jv_f,
         jnp.repeat(visible, B))

@@ -35,7 +35,8 @@ def test_cached_steps_match_decode_step(normalize_before):
     U_cap = 8
     rng = np.random.default_rng(0)
 
-    jk, jv = caat_step.jointer_kv(params, caat, enc)
+    # jointer caches are time-major ([T, N, D])
+    jk, jv = caat_step.jointer_kv(params, caat, jnp.swapaxes(enc, 0, 1))
     lm = caat_step.lm_init(params, caat, N, U_cap)
 
     prefixes = np.full((N, U_cap), caat.pad, np.int32)
@@ -79,3 +80,48 @@ def test_lm_state_invariant_under_held_streams(normalize_before):
     h_after = np.asarray(lm2.h_last)
     np.testing.assert_array_equal(h_before[0], h_after[0])
     assert not np.allclose(h_before[1], h_after[1])
+
+
+@pytest.mark.parametrize("normalize_before", [True, False])
+def test_lm_prefill_matches_step_chain(normalize_before):
+    """lm_prefill (one whole-prefix forward) must produce the same caches
+    and h_last as stepping the prefix token-by-token with lm_step."""
+    model, params, caat, enc = _build(normalize_before)
+    N, u_cap = 2, 8
+    toks = np.asarray([[caat.bos, 7, 9, 4], [caat.bos, 4, 5, 6]], np.int32)
+    lens = np.asarray([4, 4], np.int32)
+
+    lm = caat_step.lm_init(params, caat, N, u_cap)      # consumes bos
+    for j in range(1, 4):
+        lm = caat_step.lm_step(params, caat, lm,
+                               jnp.asarray(toks[:, j]),
+                               jnp.full(N, j, jnp.int32),
+                               jnp.ones(N, bool))
+
+    pre = caat_step.lm_prefill(params, caat, jnp.asarray(toks),
+                               jnp.asarray(lens), u_cap)
+    np.testing.assert_allclose(np.asarray(pre.h_last),
+                               np.asarray(lm.h_last), atol=3e-5, rtol=1e-4)
+    for i in range(caat.decoder_layers):
+        np.testing.assert_allclose(
+            np.asarray(pre.k[i][:4]).astype(np.float32),
+            np.asarray(lm.k[i][:4]).astype(np.float32),
+            atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(pre.v[i][:4]).astype(np.float32),
+            np.asarray(lm.v[i][:4]).astype(np.float32),
+            atol=3e-5, rtol=1e-4)
+
+    # reorder + one cached step after prefill == stepping the reordered
+    # prefixes (the beam expansion pattern)
+    rows = jnp.asarray([1, 0], jnp.int32)
+    re = caat_step.lm_reorder(pre, rows)
+    nxt = caat_step.lm_step(params, caat, re,
+                            jnp.asarray([8, 8], jnp.int32),
+                            jnp.full(N, 4, jnp.int32), jnp.ones(N, bool))
+    toks2 = np.concatenate([toks[::-1], [[8], [8]]], axis=1)
+    want = caat_step.lm_prefill(params, caat, jnp.asarray(toks2),
+                                jnp.full(N, 5, jnp.int32), u_cap)
+    np.testing.assert_allclose(np.asarray(nxt.h_last),
+                               np.asarray(want.h_last),
+                               atol=3e-5, rtol=1e-4)

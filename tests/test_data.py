@@ -128,3 +128,60 @@ def test_instance_normalize(rng):
     wav = rng.standard_normal(4000).astype(np.float32) * 5 + 2
     n = instance_normalize(wav)
     assert abs(n.mean()) < 1e-3 and abs(n.std() - 1) < 1e-2
+
+
+def test_process_local_rows_partition(monkeypatch):
+    """Multi-host row sharding: the per-process slices partition the
+    global batch exactly (contiguous blocks in process order)."""
+    import jax
+    from wav2vec_s_tpu.parallel.mesh import process_local_rows
+
+    rows = np.arange(16)
+    got = []
+    for pid in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        got.append(rows[process_local_rows(len(rows))])
+    assert np.concatenate(got).tolist() == rows.tolist()
+    assert all(len(g) == 4 for g in got)
+    # single process: identity
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    assert rows[process_local_rows(len(rows))].tolist() == rows.tolist()
+
+
+def test_collate_size_hint_makes_shards_shape_consistent(tmp_path):
+    """Two disjoint row slices of one global batch collate to the SAME
+    padded shapes when given the global size hint (the multi-host
+    contract of parallel.mesh.shard_batch)."""
+    from wav2vec_s_tpu.data.audio import write_wav
+    from wav2vec_s_tpu.data.dataset import CaatBatcher
+    from wav2vec_s_tpu.data.dictionary import Dictionary
+    from wav2vec_s_tpu.data.manifests import read_s2t_manifest
+    from wav2vec_s_tpu.data.tokenizer import WordTokenizer
+
+    rng = np.random.default_rng(0)
+    lens = [3000, 9000, 4000, 12000]
+    lines = ["id\taudio\tn_frames\ttgt_text"]
+    for i, n in enumerate(lens):
+        write_wav(tmp_path / f"u{i}.wav",
+                  rng.standard_normal(n).astype(np.float32) * 0.1)
+        lines.append(f"u{i}\t{tmp_path}/u{i}.wav\t{n}\tw{i} w{i}")
+    tsv = tmp_path / "m.tsv"
+    tsv.write_text("\n".join(lines) + "\n")
+    man = read_s2t_manifest(str(tsv))
+    vocab = Dictionary()
+    for i in range(8):
+        vocab.add_symbol(f"w{i}")
+    b = CaatBatcher(man, vocab, WordTokenizer(),
+                    audio_buckets=[4000, 8000, 16000])
+
+    hint = max(lens)
+    s0 = b.collate(np.asarray([0, 1]), size_hint=hint)
+    s1 = b.collate(np.asarray([2, 3]), size_hint=hint)
+    assert s0["source"].shape == s1["source"].shape
+    assert s0["padding_mask"].shape == s1["padding_mask"].shape
+    # without the hint the shard buckets diverge (9000 -> 16000 vs
+    # 12000 -> 16000 happen to agree here, so check vs a small slice)
+    small = b.collate(np.asarray([0, 2]))
+    assert small["source"].shape[1] < s0["source"].shape[1]

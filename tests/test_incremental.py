@@ -39,7 +39,7 @@ def test_incremental_matches_full_encode():
         state = enc.step(state, win)
     t = int(state.t_main)
     assert t == K * mc
-    got = np.asarray(state.out_cache)[:, :t]
+    got = np.asarray(state.out_cache)[:t].transpose(1, 0, 2)
     np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)
 
 
@@ -71,7 +71,7 @@ def test_flush_commits_lookahead():
         state = enc.step(state, win, flush=(k == K - 1))
     t = int(state.t_main)
     assert t == K * mc + rc
-    got = np.asarray(state.out_cache)[:, :t]
+    got = np.asarray(state.out_cache)[:t].transpose(1, 0, 2)
     np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)
 
 
@@ -106,7 +106,7 @@ def test_multiblock_chunks_match_full_encode():
         state = enc.step(state, win, flush=(k == K - 1))
     t = int(state.t_main)
     assert t == K * B_s * mc + rc
-    got = np.asarray(state.out_cache)[:, :t]
+    got = np.asarray(state.out_cache)[:t].transpose(1, 0, 2)
     np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)
 
 
@@ -140,5 +140,47 @@ def test_pre_ln_incremental_matches_full_encode():
             win = np.pad(win, ((0, 0), (0, W - win.shape[1])))
         state = enc.step(state, win, flush=(k == K - 1))
     t = int(state.t_main)
-    got = np.asarray(state.out_cache)[:, :t]
+    got = np.asarray(state.out_cache)[:t].transpose(1, 0, 2)
     np.testing.assert_allclose(got, full[:, :t], atol=2e-4, rtol=2e-4)
+
+
+def test_fused_chunk_attention_matches_xla_path():
+    """The Pallas chunk-attention kernel (interpret mode) must reproduce
+    the XLA einsum+softmax path of the incremental encoder exactly."""
+    from tests.test_caat import W2V_TINY, _rngs  # noqa: F401
+    from wav2vec_s_tpu.models.wav2vec2 import Wav2Vec2Model
+    from wav2vec_s_tpu.stream.incremental import IncrementalBlockwiseEncoder
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _dc.replace(W2V_TINY, extractor_mode="layer_norm")
+    model = Wav2Vec2Model(cfg, encoder_type="blockwise")
+    src = jax.random.normal(jax.random.PRNGKey(0), (2, 2400))
+    variables = model.init(_rngs(), src, jnp.zeros((2, 2), jnp.int32), 0,
+                           train=False)
+    params = variables["params"]
+
+    rng = np.random.default_rng(0)
+    N = 2
+    enc_x = IncrementalBlockwiseEncoder(cfg, params, N, t_cap=64,
+                                        fused_attention=False)
+    enc_p = IncrementalBlockwiseEncoder(cfg, params, N, t_cap=64,
+                                        fused_attention=True)
+    audio = (rng.standard_normal((N, 2400)) * 0.1).astype(np.float32)
+
+    sx = enc_x.init()
+    sp = enc_p.init()
+    for k in range(3):
+        start = k * enc_x.n_main * enc_x.hop
+        win = audio[:, start:start + enc_x.window]
+        sx = enc_x.step(sx, win)
+        sp = enc_p.step(sp, win)
+    t = int(sx.t_main)
+    np.testing.assert_allclose(
+        np.asarray(sp.out_cache)[:t], np.asarray(sx.out_cache)[:t],
+        atol=2e-2, rtol=2e-2)
+    # tight check in float32 space on the committed frames
+    d = np.abs(np.asarray(sp.out_cache)[:t].astype(np.float32)
+               - np.asarray(sx.out_cache)[:t].astype(np.float32))
+    assert d.mean() < 2e-3

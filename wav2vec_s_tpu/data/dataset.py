@@ -49,9 +49,16 @@ class PretrainBatcher:
             wav = instance_normalize(wav)
         return wav
 
-    def collate(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+    def collate(self, indices: np.ndarray,
+                size_hint: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """``size_hint``: the GLOBAL batch's shortest sample size — on
+        multi-host runs every process collates its row slice of one global
+        batch and must pick the same crop bucket (train/cli.py passes the
+        manifest-derived global min)."""
         wavs = [self.load(i) for i in indices]
         shortest = min(len(w) for w in wavs)
+        if size_hint is not None:
+            shortest = min(shortest, size_hint)
         # crop to the bucket at/below the batch's shortest (no padding in
         # pre-training — crop-only, like pad_audio=False in the reference)
         usable = [b for b in self.buckets if b <= shortest]
@@ -95,7 +102,13 @@ class CaatBatcher:
         pieces = self.tokenizer.encode(text)
         return self.tgt_dict.encode(pieces, append_eos=True)
 
-    def collate(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+    def collate(self, indices: np.ndarray,
+                size_hint: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """``size_hint``: the GLOBAL batch's longest audio (samples for
+        raw, frames for fbank) — multi-host processes collate row slices
+        of one global batch and must agree on the pad bucket.  (Targets:
+        use a single-valued ``target_buckets`` on multi-host runs so the
+        text dim is host-independent too.)"""
         wavs, targets = [], []
         for i in indices:
             wav = read_audio(self.manifest.audio_paths[i])
@@ -107,7 +120,8 @@ class CaatBatcher:
             wavs.append(wav)
             targets.append(np.asarray(self.encode_target(i), np.int64))
 
-        S = bucket_for(max(len(w) for w in wavs), self.audio_buckets)
+        S = bucket_for(max([len(w) for w in wavs] + [size_hint or 0]),
+                       self.audio_buckets)
         U = bucket_for(max(len(t) for t in targets), self.target_buckets)
         B = len(wavs)
         feat_shape = (S,) if wavs[0].ndim == 1 else (S, wavs[0].shape[1])

@@ -55,7 +55,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_local_rows(n_rows: int) -> slice:
+    """Rows of a global batch owned by this process.
+
+    ``make_mesh`` lays the data axis out in ``jax.devices()`` order, which
+    groups devices by process — so process p owns the p-th contiguous
+    row block.  Every host draws the SAME seeded batch order and collates
+    only its slice (the SPMD replacement for fairseq's shard-by-rank
+    iterator: one global batch, row-sharded, instead of per-rank
+    batches)."""
+    p, n = jax.process_index(), jax.process_count()
+    per = n_rows // n
+    return slice(p * per, (p + 1) * per)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the leading dim over ``data``."""
+    """Device-put a host batch pytree with the leading dim over ``data``.
+
+    Multi-host (``jax.distributed.initialize`` + the same script per
+    host): each process passes only its LOCAL rows — its shard of the
+    ``EpochBatchIterator`` (shard-by-rank, the fairseq
+    ``iterators.py`` contract) — and the global array is assembled from
+    the per-process shards.  Per-rank batches must collate to the same
+    shapes (the bucketed batchers guarantee this for equal
+    rows-per-host; see ``train/cli.py``).
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(s, x), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -202,6 +202,7 @@ class IncrementalGreedyDecoder:
         self._enc_factory = lambda n: IncrementalBlockwiseEncoder(
             w2v_cfg, params["encoder"], n, t_cap=t_cap,
             blocks_per_step=blocks_per_step)
+        self._enc_cache = {}         # n_streams -> encoder (jit reuse)
 
         @jax.jit
         def _greedy(params, prefixes, lens, finished, out_cache, visible,
@@ -211,10 +212,12 @@ class IncrementalGreedyDecoder:
             mask = (jnp.arange(self.t_cap)[None, :]
                     >= visible[:, None])                    # [N, T_cap]
 
+            enc_bm = jnp.swapaxes(out_cache, 0, 1)   # time- -> batch-major
+
             def body(i, carry):
                 prefixes, lens, blocked = carry
                 lp = self.model.apply(
-                    {"params": params}, prefixes, lens, out_cache, mask,
+                    {"params": params}, prefixes, lens, enc_bm, mask,
                     method=type(self.model).decode_step)
                 lp = lp.at[:, pad].set(-jnp.inf)
                 tok = jnp.argmax(lp, axis=-1)
@@ -237,7 +240,9 @@ class IncrementalGreedyDecoder:
 
     def decode_corpus(self, wavs: List[np.ndarray]):
         N = len(wavs)
-        enc = self._enc_factory(N)
+        enc = self._enc_cache.get(N)
+        if enc is None:
+            enc = self._enc_cache[N] = self._enc_factory(N)
         hop, W = enc.hop, enc.window
         max_samples = max(len(w) for w in wavs)
         audio = np.zeros((N, max_samples + W), np.float32)
@@ -325,10 +330,12 @@ class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
                     # early exit once every stream has emitted blank
                     return (i < max_emit) & ~jnp.all(blocked)
 
+                enc_bm = jnp.swapaxes(out_cache, 0, 1)
+
                 def body(carry):
                     prefixes, lens, blocked, i = carry
                     lp = model.apply(
-                        {"params": params}, prefixes, lens, out_cache, mask,
+                        {"params": params}, prefixes, lens, enc_bm, mask,
                         method=type(model).decode_step)
                     lp = lp.at[:, pad].set(-jnp.inf)
                     tok = jnp.argmax(lp, axis=-1)
@@ -368,7 +375,7 @@ class FusedIncrementalGreedyDecoder(IncrementalGreedyDecoder):
                 lens_hist = jnp.concatenate([lens_hist, lens[None]], 0)
                 return prefixes, lens, lens_hist
 
-            self._fused = jax.jit(fused)
+            self._fused = jax.jit(fused, donate_argnums=(1, 2, 3))
 
         estate = enc.init()
         prefixes = np.full((N, self.max_len + 1), self.vocab.pad(), np.int32)
@@ -487,7 +494,7 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 estate = enc.step_fn(params["encoder"], estate,
                                      window_at(audio_dev, start))
                 x_new = jax.lax.dynamic_slice_in_dim(
-                    estate.out_cache, t0, enc.n_main, axis=1)
+                    estate.out_cache, t0, enc.n_main, axis=0)
                 k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
                 jk, jv = caat_step.jointer_kv_append(jk, jv, k_new, v_new,
                                                      t0)
@@ -506,7 +513,7 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 params["encoder"], estate,
                 window_at(audio_dev, (n_chunks - 1) * stride))
             x_new = jax.lax.dynamic_slice_in_dim(estate.out_cache, t0,
-                                                 enc.n_main + rc, axis=1)
+                                                 enc.n_main + rc, axis=0)
             k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
             jk, jv = caat_step.jointer_kv_append(jk, jv, k_new, v_new, t0)
             visible = estate.t_main * jnp.ones((prefixes.shape[0],),
@@ -517,13 +524,18 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
             return prefixes, lens, lens_hist
 
         if not hasattr(self, "_fused_cached"):
-            self._fused_cached = jax.jit(fused)
+            # donate the carry buffers (encoder state, jointer K/V caches,
+            # prefixes/lens): they are rebuilt per corpus call, and without
+            # donation XLA materializes a full copy of every cache inside
+            # the scan — ~2x HBM, capping the stream batch
+            self._fused_cached = jax.jit(fused, donate_argnums=(1, 2, 3,
+                                                                4, 5))
 
         estate = enc.init()
         cdtype = estate.out_cache.dtype
-        jk = tuple(jnp.zeros((N, t_cap, caat.jointer_embed_dim), cdtype)
+        jk = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim), cdtype)
                    for _ in range(caat.jointer_layers))
-        jv = tuple(jnp.zeros((N, t_cap, caat.jointer_embed_dim), cdtype)
+        jv = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim), cdtype)
                    for _ in range(caat.jointer_layers))
         prefixes = np.full((N, self.max_len + 1), vocab.pad(), np.int32)
         prefixes[:, 0] = vocab.bos()

@@ -98,9 +98,18 @@ class BatchedBeamStreamingDecoder:
         self.conv_layers = w2v_cfg.conv_feature_layers
         self._spm_style = spm_style_vocab(vocab)
         self.U_cap = max_len + max_steps + 2
+        # working-width buckets for the beam block (prefix-LM recompute
+        # cost scales with the padded width; one executable per bucket)
+        b = 16
+        self._token_buckets = []
+        while b < self.U_cap:
+            self._token_buckets.append(b)
+            b *= 2
+        self._token_buckets.append(self.U_cap)
         self._enc_factory = lambda n: IncrementalBlockwiseEncoder(
             w2v_cfg, params["encoder"], n, t_cap=t_cap,
             blocks_per_step=blocks_per_step)
+        self._enc_cache = {}         # n_streams -> encoder (jit reuse)
 
         caat = self.caat
         pad_id, bos_id, eos_id = vocab.pad(), vocab.bos(), vocab.eos()
@@ -119,25 +128,25 @@ class BatchedBeamStreamingDecoder:
             ln = jnp.maximum(length, 1.0)
             return (score + ln * lp) * ln ** ls
 
-        def lm_h_last(params, flat_toks, flat_lens):
-            """Recompute the prefix LM; return the state at the last token."""
-            h = self.model.apply(
-                {"params": params}, flat_toks,
-                method=lambda m, t: m.decoder_lm(
-                    t, train=False, embed_matrix=m.embed_tokens))
-            k = jnp.arange(h.shape[0])
-            return h[k, flat_lens - 1]                      # [N*B, D]
-
         def beam_block(params, prefixes, nlens, scores, jk, jv, visible,
                        is_end, active):
             """One ``search_at`` (transducer_searcher.py:313-459) for all
             streams at once.
 
-            prefixes [N, B, U_cap] right-padded; nlens [N, B] incl. bos;
+            prefixes [N, B, U_blk] right-padded; nlens [N, B] incl. bos;
             scores [N, B] unnormalized; visible/is_end/active [N].
-            Returns (pool_tokens [N, B, U_cap], unnormalized pool scores)."""
-            N = prefixes.shape[0]
-            pool_t = jnp.full((N, 2 * B, U_cap), pad_id, jnp.int32)
+            The working width U_blk is the host-bucketed prefix length
+            (one executable per bucket).  The prefix LM runs ONCE per
+            block (``lm_prefill``); each beam iteration is then an O(1)
+            cached step with a beam-reorder gather (``lm_reorder`` — the
+            fairseq reorder_incremental_state pattern), not a full prefix
+            recompute.  Returns (pool_tokens [N, B, U_blk], unnormalized
+            pool scores)."""
+            N, _, U_blk = prefixes.shape
+            lm0 = caat_step.lm_prefill(params, caat,
+                                       prefixes.reshape(N * B, U_blk),
+                                       nlens.reshape(N * B), U_blk)
+            pool_t = jnp.full((N, 2 * B, U_blk), pad_id, jnp.int32)
             pool_s = jnp.full((N, 2 * B), NINF)
             lengths = nlens.astype(jnp.float32) - 1.0
 
@@ -145,11 +154,11 @@ class BatchedBeamStreamingDecoder:
                 return (c[-1] < max_steps_) & ~jnp.all(c[-2])
 
             def body(c):
-                prefixes, nlens, scores, lengths, pool_t, pool_s, done, i = c
-                flat = prefixes.reshape(N * B, U_cap)
-                h_last = lm_h_last(params, flat, nlens.reshape(N * B))
+                (prefixes, nlens, scores, lengths, pool_t, pool_s, lm,
+                 done, i) = c
                 lp = caat_step.jointer_step_beam(
-                    params, caat, h_last.reshape(N, B, -1), jk, jv, visible)
+                    params, caat, lm.h_last.reshape(N, B, -1), jk, jv,
+                    visible)
                 lp = lp.at[..., pad_id].set(NINF)
                 # blank -> eos alias while the stream is open (:345-347)
                 eos_col = jnp.where(is_end[:, None], lp[..., eos_id],
@@ -173,7 +182,7 @@ class BatchedBeamStreamingDecoder:
                 lp = lp.at[..., eos_id].set(NINF)
                 expand = scores[:, :, None] + lp
                 # cap: prefixes at buffer limit may only finish
-                expand = jnp.where(nlens[:, :, None] >= U_cap - 1, NINF,
+                expand = jnp.where(nlens[:, :, None] >= U_blk - 1, NINF,
                                    expand)
                 normed = norm(expand, lengths2[:, :, None],
                               is_end[:, None, None])
@@ -188,7 +197,15 @@ class BatchedBeamStreamingDecoder:
                 n_idx = jnp.arange(N)[:, None]
                 b_idx = jnp.arange(B)[None, :]
                 nx_prefix = nx_prefix.at[
-                    n_idx, b_idx, jnp.minimum(nx_nlens, U_cap - 1)].set(toks)
+                    n_idx, b_idx, jnp.minimum(nx_nlens, U_blk - 1)].set(toks)
+                # cached LM advance: gather the origin beams' caches, then
+                # consume the new token (frozen streams keep h_last)
+                flat_rows = (n_idx * B + rows).reshape(N * B)
+                lm = caat_step.lm_reorder(lm, flat_rows)
+                adv = jnp.broadcast_to(~done[:, None], (N, B)).reshape(-1)
+                lm = caat_step.lm_step(
+                    params, caat, lm, toks.reshape(N * B),
+                    jnp.minimum(nx_nlens, U_blk - 1).reshape(N * B), adv)
                 nx_nlens = nx_nlens + 1
 
                 # early stop: best finished beats best open by gen_beam
@@ -201,13 +218,13 @@ class BatchedBeamStreamingDecoder:
 
                 return (sel(nx_prefix, prefixes), sel(nx_nlens, nlens),
                         sel(nx_scores, scores), sel(nx_lengths, lengths),
-                        sel(new_pt, pool_t), sel(new_ps, pool_s),
+                        sel(new_pt, pool_t), sel(new_ps, pool_s), lm,
                         done | newly_done, i + 1)
 
             done0 = ~active
             out = jax.lax.while_loop(
                 cond, body, (prefixes, nlens, scores, lengths, pool_t,
-                             pool_s, done0, jnp.zeros((), jnp.int32)))
+                             pool_s, lm0, done0, jnp.zeros((), jnp.int32)))
             pool_t, pool_s = out[4][:, :B], out[5][:, :B]
             keep = pool_s > pool_s[:, :1] - gen_b
             pool_s = jnp.where(keep, pool_s, NINF)
@@ -217,7 +234,7 @@ class BatchedBeamStreamingDecoder:
         self._beam_block = jax.jit(beam_block)
 
         def kv_append(params, jk, jv, out_cache, t0, n_new):
-            x_new = jax.lax.dynamic_slice_in_dim(out_cache, t0, n_new, 1)
+            x_new = jax.lax.dynamic_slice_in_dim(out_cache, t0, n_new, 0)
             k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
             return caat_step.jointer_kv_append(jk, jv, k_new, v_new, t0)
 
@@ -230,7 +247,11 @@ class BatchedBeamStreamingDecoder:
         vocab, caat = self.vocab, self.caat
         pad_id, bos_id = vocab.pad(), vocab.bos()
         N, B, U_cap = len(wavs), self.B, self.U_cap
-        enc = self._enc_factory(N)
+        # reuse the per-width encoder: a fresh instance would recompile its
+        # jitted step on every corpus call
+        enc = self._enc_cache.get(N)
+        if enc is None:
+            enc = self._enc_cache[N] = self._enc_factory(N)
         hop, W = enc.hop, enc.window
         max_samples = max(len(w) for w in wavs)
         audio = np.zeros((N, max_samples + W), np.float32)
@@ -245,10 +266,10 @@ class BatchedBeamStreamingDecoder:
 
         estate = enc.init()
         cdtype = estate.out_cache.dtype
-        jk = tuple(jnp.zeros((N, self.t_cap, caat.jointer_embed_dim), cdtype)
-                   for _ in range(caat.jointer_layers))
-        jv = tuple(jnp.zeros((N, self.t_cap, caat.jointer_embed_dim), cdtype)
-                   for _ in range(caat.jointer_layers))
+        jk = tuple(jnp.zeros((self.t_cap, N, caat.jointer_embed_dim),
+                             cdtype) for _ in range(caat.jointer_layers))
+        jv = tuple(jnp.zeros((self.t_cap, N, caat.jointer_embed_dim),
+                             cdtype) for _ in range(caat.jointer_layers))
 
         prefixes = np.full((N, B, U_cap), pad_id, np.int32)
         prefixes[:, 0, 0] = bos_id
@@ -284,9 +305,13 @@ class BatchedBeamStreamingDecoder:
             if not run.any():
                 continue
 
+            from wav2vec_s_tpu.data.batching import bucket_for
+            u_blk = min(self.U_cap,
+                        bucket_for(int(nlens.max()) + self.max_steps + 1,
+                                   self._token_buckets))
             pool_t, pool_s = self._beam_block(
-                self.params, jnp.asarray(prefixes), jnp.asarray(nlens),
-                jnp.asarray(scores), jk, jv,
+                self.params, jnp.asarray(prefixes[:, :, :u_blk]),
+                jnp.asarray(nlens), jnp.asarray(scores), jk, jv,
                 jnp.asarray(visible.astype(np.int32)), jnp.asarray(is_end),
                 jnp.asarray(run))
             pool_t = np.asarray(pool_t)
@@ -319,7 +344,7 @@ class BatchedBeamStreamingDecoder:
                 nlens[i] = 1
                 scores[i] = NINF
                 for b, (row, s) in enumerate(zip(kt, ks)):
-                    prefixes[i, b] = row
+                    prefixes[i, b, :len(row)] = row
                     nlens[i, b] = int((row != pad_id).sum())
                     scores[i, b] = s
                 if is_end[i]:

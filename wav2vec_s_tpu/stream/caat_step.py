@@ -43,13 +43,15 @@ def _ln(p, x):
 class LMState(struct.PyTreeNode):
     """Per-stream incremental LM state.
 
-    k/v: per-layer tuples of [N, U_cap, D] caches of the *projected*
-    keys/values (the fairseq ``prev_key/prev_value`` contract,
+    k/v: per-layer tuples of TIME-MAJOR [U_cap, N, D] caches of the
+    *projected* keys/values (the fairseq ``prev_key/prev_value`` contract,
     multihead_attention.py:197-300) — independent buffers, NOT a stacked
     [L, ...] array, so per-layer scatter updates stay in place instead of
-    copying the whole multi-layer buffer every emission; h_last: [N, D] LM
-    output at the last prefix position (post final-LN when pre-LN config)
-    — the jointer query.
+    copying the whole multi-layer buffer every emission; time-major so the
+    in-loop layout matches the buffer layout (batch-major carries made XLA
+    keep a transposed copy of every cache inside the fused scan);
+    h_last: [N, D] LM output at the last prefix position (post final-LN
+    when pre-LN config) — the jointer query.
     """
 
     k: tuple
@@ -60,22 +62,22 @@ class LMState(struct.PyTreeNode):
 def _attend_one(q, k_cache, v_cache, idx, n_heads):
     """One-query attention against a per-stream-length cache.
 
-    q: [N, D]; k_cache/v_cache: [N, U_cap, D]; idx: [N] last valid cache
-    row per stream (keys j <= idx attend).
+    q: [N, D]; k_cache/v_cache: TIME-MAJOR [U_cap, N, D]; idx: [N] last
+    valid cache row per stream (keys j <= idx attend).
     """
-    N, U_cap, D = k_cache.shape
+    U_cap, N, D = k_cache.shape
     H = n_heads
     Dh = D // H
     qh = q.reshape(N, H, Dh)
-    kh = k_cache.reshape(N, U_cap, H, Dh)
-    vh = v_cache.reshape(N, U_cap, H, Dh)
-    logits = jnp.einsum("nhd,nuhd->nhu", qh, kh,
+    kh = k_cache.reshape(U_cap, N, H, Dh)
+    vh = v_cache.reshape(U_cap, N, H, Dh)
+    logits = jnp.einsum("nhd,unhd->nhu", qh, kh,
                         preferred_element_type=jnp.float32) * (Dh ** -0.5)
     bias = jnp.where(jnp.arange(U_cap)[None] <= idx[:, None], 0.0,
                      MASK_VALUE)
     logits = logits + bias[:, None, :]
     p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("nhu,nuhd->nhd", p, vh)
+    out = jnp.einsum("nhu,unhd->nhd", p, vh)
     return out.reshape(N, D)
 
 
@@ -117,8 +119,8 @@ def lm_step(params, cfg, state: LMState, tokens: jnp.ndarray,
         q = _dense(att["q_proj"], h_in)
         k1 = _dense(att["k_proj"], h_in)
         v1 = _dense(att["v_proj"], h_in)
-        new_k[i] = new_k[i].at[rows, index].set(k1.astype(new_k[i].dtype))
-        new_v[i] = new_v[i].at[rows, index].set(v1.astype(new_v[i].dtype))
+        new_k[i] = new_k[i].at[index, rows].set(k1.astype(new_k[i].dtype))
+        new_v[i] = new_v[i].at[index, rows].set(v1.astype(new_v[i].dtype))
         o = _attend_one(q, new_k[i].astype(dtype), new_v[i].astype(dtype),
                         index, c.decoder_attention_heads)
         h = _dense(att["out_proj"], o)
@@ -138,12 +140,89 @@ def lm_step(params, cfg, state: LMState, tokens: jnp.ndarray,
     return LMState(k=tuple(new_k), v=tuple(new_v), h_last=h_last)
 
 
+def lm_prefill(params, cfg, tokens: jnp.ndarray, lens: jnp.ndarray,
+               u_cap: int) -> LMState:
+    """Full-prefix LM forward that ALSO materializes the per-layer K/V
+    caches — one recompute per chunk instead of per emission.
+
+    The batched beam decoder re-seeds its beams from host-merged prefixes
+    every chunk; this builds the incremental state those prefixes would
+    have produced through ``lm_step`` (pinned by tests/test_caat_step.py).
+
+    tokens: [K, U] right-padded (bos first); lens: [K]; u_cap >= U cache
+    capacity.  Returns LMState with k/v [u_cap, K, D] and ``h_last`` at
+    position lens-1.
+    """
+    c = cfg
+    D = c.decoder_embed_dim
+    H = c.decoder_attention_heads
+    Dh = D // H
+    lm = params["decoder_lm"]
+    embed = params.get("embed_tokens", lm.get("embed_tokens"))
+    dtype = c.compute_dtype
+    K, U = tokens.shape
+
+    x = embed.astype(dtype)[tokens] * (D ** 0.5)                # [K, U, D]
+    table = sinusoidal_table(
+        c.max_target_positions + PADDING_IDX + 1 + c.rand_pos_decoder, D)
+    x = x + table[jnp.arange(U) + 1 + PADDING_IDX][None].astype(dtype)
+
+    causal = jnp.where(
+        jnp.arange(U)[None, :] <= jnp.arange(U)[:, None], 0.0, MASK_VALUE)
+
+    ks, vs = [], []
+    for i in range(c.decoder_layers):
+        lp = lm[f"layer_{i}"]
+        att = lp["self_attn"]
+        h_in = (_ln(lp["self_attn_layer_norm"], x)
+                if c.decoder_normalize_before else x)
+        q = _dense(att["q_proj"], h_in).reshape(K, U, H, Dh)
+        k1 = _dense(att["k_proj"], h_in)
+        v1 = _dense(att["v_proj"], h_in)
+        kh = k1.reshape(K, U, H, Dh)
+        vh = v1.reshape(K, U, H, Dh)
+        logits = jnp.einsum("kuhd,kjhd->khuj", q, kh,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        logits = logits + causal[None, None]
+        p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("khuj,kjhd->kuhd", p, vh).reshape(K, U, D)
+        h = _dense(att["out_proj"], o)
+        if c.decoder_normalize_before:
+            x = x + h
+            hf = _dense(lp["fc2"], jax.nn.relu(
+                _dense(lp["fc1"], _ln(lp["final_layer_norm"], x))))
+            x = x + hf
+        else:
+            x = _ln(lp["self_attn_layer_norm"], x + h)
+            hf = _dense(lp["fc2"], jax.nn.relu(_dense(lp["fc1"], x)))
+            x = _ln(lp["final_layer_norm"], x + hf)
+        # time-major caches padded to capacity
+        pad = ((0, u_cap - U), (0, 0), (0, 0))
+        ks.append(jnp.pad(k1.swapaxes(0, 1), pad).astype(dtype))
+        vs.append(jnp.pad(v1.swapaxes(0, 1), pad).astype(dtype))
+
+    if c.decoder_normalize_before:
+        x = _ln(lm["layer_norm"], x)
+    h_last = jnp.take_along_axis(
+        x, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    return LMState(k=tuple(ks), v=tuple(vs), h_last=h_last)
+
+
+def lm_reorder(state: LMState, rows: jnp.ndarray) -> LMState:
+    """Gather beam rows (the fairseq ``reorder_incremental_state``):
+    rows [K] indices into the stream axis of the caches/h_last."""
+    return LMState(
+        k=tuple(k[:, rows] for k in state.k),
+        v=tuple(v[:, rows] for v in state.v),
+        h_last=state.h_last[rows])
+
+
 def lm_init(params, cfg, n_streams: int, u_cap: int, bos: int | None = None,
             dtype=None) -> LMState:
     """Empty caches + one step on bos (prefix = [bos])."""
     c = cfg
     dtype = dtype or c.compute_dtype
-    z = tuple(jnp.zeros((n_streams, u_cap, c.decoder_embed_dim), dtype)
+    z = tuple(jnp.zeros((u_cap, n_streams, c.decoder_embed_dim), dtype)
               for _ in range(c.decoder_layers))
     state = LMState(k=z, v=z,
                     h_last=jnp.zeros((n_streams, c.decoder_embed_dim), dtype))
@@ -156,10 +235,11 @@ def lm_init(params, cfg, n_streams: int, u_cap: int, bos: int | None = None,
 def jointer_kv(params, cfg, x_new: jnp.ndarray):
     """Project new encoder frames to per-layer jointer K/V.
 
-    x_new: [N, n, D] -> (k, v) tuples of L_j arrays [N, n, D].  The
-    reference caches exactly these in ExpandMultiheadAttention's
-    incremental state (attention_transducer.py:667-684).  Per-layer tuples
-    (not a stacked array) keep downstream cache appends in place.
+    x_new: time-major [n, N, D] -> (k, v) tuples of L_j arrays
+    [n, N, D].  The reference caches exactly these in
+    ExpandMultiheadAttention's incremental state
+    (attention_transducer.py:667-684).  Per-layer tuples (not a stacked
+    array) keep downstream cache appends in place.
     """
     ks, vs = [], []
     for i in range(cfg.jointer_layers):
@@ -170,10 +250,13 @@ def jointer_kv(params, cfg, x_new: jnp.ndarray):
 
 
 def jointer_kv_append(jk, jv, k_new, v_new, t0):
-    """Append per-layer new-frame K/V at cache offset ``t0`` (in place)."""
-    jk = tuple(jax.lax.dynamic_update_slice_in_dim(c, n, t0, axis=1)
+    """Append per-layer new-frame K/V at cache offset ``t0`` (in place).
+
+    Caches and new rows are time-major: the append is a
+    dynamic_update_slice on the leading axis."""
+    jk = tuple(jax.lax.dynamic_update_slice_in_dim(c, n, t0, axis=0)
                for c, n in zip(jk, k_new))
-    jv = tuple(jax.lax.dynamic_update_slice_in_dim(c, n, t0, axis=1)
+    jv = tuple(jax.lax.dynamic_update_slice_in_dim(c, n, t0, axis=0)
                for c, n in zip(jv, v_new))
     return jk, jv
 
@@ -183,16 +266,16 @@ def jointer_step_beam(params, cfg, h_last: jnp.ndarray, jk, jv,
     """Beam-batched jointer step sharing per-stream encoder K/V.
 
     h_last: [N, B, D] LM states for B beams per stream; jk/jv: per-layer
-    tuples of [N, T_cap, D] (ONE copy per stream — the beams of a stream
-    attend the same revealed frames, so the cache is never tiled per beam);
-    visible: [N].  Returns [N, B, V] log-probs, same math as
+    tuples of time-major [T_cap, N, D] (ONE copy per stream — the beams of
+    a stream attend the same revealed frames, so the cache is never tiled
+    per beam); visible: [N].  Returns [N, B, V] log-probs, same math as
     ``jointer_step``.
     """
     c = cfg
     D = c.jointer_embed_dim
     H = c.jointer_attention_heads
     Dh = D // H
-    t_cap = jk[0].shape[1]
+    t_cap = jk[0].shape[0]
     N, B, _ = h_last.shape
     bias = jnp.where(jnp.arange(t_cap)[None] < visible[:, None], 0.0,
                      MASK_VALUE)                                  # [N, T]
@@ -202,13 +285,13 @@ def jointer_step_beam(params, cfg, h_last: jnp.ndarray, jk, jv,
         att = lp["enc_attn"]
         h = _ln(lp["attn_layer_norm"], x) if c.decoder_normalize_before else x
         q = _dense(att["q_proj"], h).reshape(N, B, H, Dh)
-        k = jk[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
-        v = jv[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
-        logits = jnp.einsum("nbhd,nthd->nbht", q, k,
+        k = jk[i].astype(h.dtype).reshape(t_cap, N, H, Dh)
+        v = jv[i].astype(h.dtype).reshape(t_cap, N, H, Dh)
+        logits = jnp.einsum("nbhd,tnhd->nbht", q, k,
                             preferred_element_type=jnp.float32) * (Dh ** -0.5)
         logits = logits + bias[:, None, None, :]
         p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("nbht,nthd->nbhd", p, v).reshape(N, B, D)
+        o = jnp.einsum("nbht,tnhd->nbhd", p, v).reshape(N, B, D)
         h = _dense(att["out_proj"], o)
         x = x + h
         if not c.decoder_normalize_before:
@@ -232,8 +315,9 @@ def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
                  visible: jnp.ndarray) -> jnp.ndarray:
     """Next-symbol log-probs from cached jointer K/V.
 
-    h_last: [N, D] LM state; jk/jv: per-layer tuples of [N, T_cap, D];
-    visible: [N] number of revealed encoder frames.  Returns [N, V]
+    h_last: [N, D] LM state; jk/jv: per-layer tuples of time-major
+    [T_cap, N, D]; visible: [N] number of revealed encoder frames.
+    Returns [N, V]
     log-probs — bit-compatible with ``W2V2CaatModel.decode_step``
     (single-group jointer + shared-embedding projection) for both LN
     orderings.
@@ -242,7 +326,7 @@ def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
     D = c.jointer_embed_dim
     H = c.jointer_attention_heads
     Dh = D // H
-    t_cap = jk[0].shape[1]
+    t_cap = jk[0].shape[0]
     N = h_last.shape[0]
     bias = jnp.where(jnp.arange(t_cap)[None] < visible[:, None], 0.0,
                      MASK_VALUE)                                  # [N, T]
@@ -252,13 +336,13 @@ def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
         att = lp["enc_attn"]
         h = _ln(lp["attn_layer_norm"], x) if c.decoder_normalize_before else x
         q = _dense(att["q_proj"], h).reshape(N, H, Dh)
-        k = jk[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
-        v = jv[i].astype(h.dtype).reshape(N, t_cap, H, Dh)
-        logits = jnp.einsum("nhd,nthd->nht", q, k,
+        k = jk[i].astype(h.dtype).reshape(t_cap, N, H, Dh)
+        v = jv[i].astype(h.dtype).reshape(t_cap, N, H, Dh)
+        logits = jnp.einsum("nhd,tnhd->nht", q, k,
                             preferred_element_type=jnp.float32) * (Dh ** -0.5)
         logits = logits + bias[:, None, :]
         p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("nht,nthd->nhd", p, v).reshape(N, D)
+        o = jnp.einsum("nht,tnhd->nhd", p, v).reshape(N, D)
         h = _dense(att["out_proj"], o)
         x = x + h
         if not c.decoder_normalize_before:

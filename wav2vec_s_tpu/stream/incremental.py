@@ -33,23 +33,28 @@ from wav2vec_s_tpu.ops.block_mask import MASK_VALUE
 from wav2vec_s_tpu.utils.positional import sinusoidal_table, POS_OFFSET
 
 class IncrementalEncoderState(struct.PyTreeNode):
-    # per-layer tuples of [N, T_cap, D]: a stacked [L, N, T_cap, D] array
-    # would force XLA to copy the WHOLE multi-layer buffer on every
-    # per-layer `at[i].set` write-back inside the loop (~GBs of HBM traffic
-    # per chunk); independent buffers update in place.
+    # per-layer tuples of TIME-MAJOR [T_cap, N, D] buffers.  Two layout
+    # rules, both load-bearing for HBM:
+    # - independent per-layer buffers (a stacked [L, ...] array would copy
+    #   the WHOLE multi-layer buffer on every per-layer write-back);
+    # - time major: the per-chunk append is a dynamic_update_slice on the
+    #   LEADING axis, which is exactly the layout XLA's loop analysis
+    #   prefers — batch-major carries made XLA keep a second, transposed
+    #   copy of every cache inside the fused scan (2x HBM, capping the
+    #   stream batch at half the chip).
     k_cache: tuple
     v_cache: tuple
-    out_cache: jnp.ndarray   # [N, T_cap, D] encoder outputs
+    out_cache: jnp.ndarray   # [T_cap, N, D] encoder outputs (time-major)
     t_main: jnp.ndarray      # scalar int32: frames cached so far
 
 
 def init_state(n_streams: int, n_layers: int, dim: int, t_cap: int,
                dtype=jnp.float32) -> IncrementalEncoderState:
-    z = tuple(jnp.zeros((n_streams, t_cap, dim), dtype)
+    z = tuple(jnp.zeros((t_cap, n_streams, dim), dtype)
               for _ in range(n_layers))
     return IncrementalEncoderState(
         k_cache=z, v_cache=z,
-        out_cache=jnp.zeros((n_streams, t_cap, dim), dtype),
+        out_cache=jnp.zeros((t_cap, n_streams, dim), dtype),
         t_main=jnp.zeros((), jnp.int32))
 
 
@@ -68,7 +73,7 @@ class IncrementalBlockwiseEncoder:
     """Binds a Wav2Vec2 param tree to the jitted incremental step."""
 
     def __init__(self, w2v_cfg, params, n_streams: int, t_cap: int = 2048,
-                 blocks_per_step: int = 1):
+                 blocks_per_step: int = 1, fused_attention=None):
         assert w2v_cfg.extractor_mode == "layer_norm", (
             "incremental streaming needs the stateless (layer-norm) conv "
             "front-end; 'default' group-norm normalizes over time")
@@ -94,6 +99,14 @@ class IncrementalBlockwiseEncoder:
             dtype=w2v_cfg.compute_dtype)
         self._table = sinusoidal_table(
             t_cap + POS_OFFSET + 2, w2v_cfg.encoder_embed_dim)
+        # fused Pallas chunk attention (ops/chunk_attention.py) avoids the
+        # HBM logits + separate softmax passes, but measured end-to-end on
+        # v5e it LOSES to the XLA einsum path inside the fused corpus scan
+        # (the scan-carry relayout XLA inserts before the kernel costs more
+        # than the softmax passes it saves: full-agent 581 vs 689
+        # audio-s/s).  Default off; kept available + parity-tested for
+        # revisiting when the carry-layout issue is fixed upstream.
+        self.fused_attention = bool(fused_attention)
 
         self.step_fn = self._make_step(flush=False)    # pure, for fusion
         self.flush_fn = self._make_step(flush=True)
@@ -177,23 +190,44 @@ class IncrementalBlockwiseEncoder:
                 q = _dense(att["q_proj"], h_in) * (Dh ** -0.5)
                 k_new = _dense(att["k_proj"], h_in)
                 v_new = _dense(att["v_proj"], h_in)
-                k_all = jnp.concatenate(
-                    [state.k_cache[i].astype(x.dtype), k_new], axis=1)
-                v_all = jnp.concatenate(
-                    [state.v_cache[i].astype(x.dtype), v_new], axis=1)
                 cache_dtype = state.k_cache[i].dtype
 
                 def split(t):
                     B, T, _ = t.shape
                     return t.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
 
-                logits = jnp.einsum("bhqd,bhkd->bhqk", split(q),
-                                    split(k_all),
-                                    preferred_element_type=jnp.float32)
-                logits = logits + bias
-                p_att = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-                o = jnp.einsum("bhqk,bhkd->bhqd", p_att, split(v_all))
-                o = o.transpose(0, 2, 1, 3).reshape(x.shape)
+                def split_tm(t):
+                    T, B, _ = t.shape                    # time-major cache
+                    return t.reshape(T, B, H, Dh)
+
+                if self.fused_attention:
+                    from wav2vec_s_tpu.ops.chunk_attention import (
+                        chunk_cache_attention)
+                    o = chunk_cache_attention(
+                        q, state.k_cache[i].astype(x.dtype),
+                        state.v_cache[i].astype(x.dtype), k_new, v_new,
+                        jnp.asarray(intra_bias), t0, H)
+                else:
+                    qh = split(q)                        # [B, H, R, Dh]
+                    kc = split_tm(state.k_cache[i].astype(x.dtype))
+                    vc = split_tm(state.v_cache[i].astype(x.dtype))
+                    # scores against the cache (time-major operand read in
+                    # place) and against the current chunk rows
+                    lg_cache = jnp.einsum(
+                        "bhqd,tbhd->bhqt", qh, kc,
+                        preferred_element_type=jnp.float32)
+                    lg_intra = jnp.einsum(
+                        "bhqd,bhkd->bhqk", qh, split(k_new),
+                        preferred_element_type=jnp.float32)
+                    logits = jnp.concatenate([lg_cache, lg_intra], axis=-1)
+                    logits = logits + bias
+                    p_att = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                    o = (jnp.einsum("bhqt,tbhd->bhqd",
+                                    p_att[..., :self.t_cap], vc)
+                         + jnp.einsum("bhqk,bhkd->bhqd",
+                                      p_att[..., self.t_cap:],
+                                      split(v_new)))
+                    o = o.transpose(0, 2, 1, 3).reshape(x.shape)
                 h = _dense(att["out_proj"], o)
 
                 # cache the main frames' K/V (+ final look-ahead at flush)
@@ -206,9 +240,11 @@ class IncrementalBlockwiseEncoder:
                     keep_k = k_new[:, :n_keep]
                     keep_v = v_new[:, :n_keep]
                 new_k[i] = jax.lax.dynamic_update_slice_in_dim(
-                    new_k[i], keep_k.astype(cache_dtype), t0, axis=1)
+                    new_k[i], keep_k.swapaxes(0, 1).astype(cache_dtype),
+                    t0, axis=0)
                 new_v[i] = jax.lax.dynamic_update_slice_in_dim(
-                    new_v[i], keep_v.astype(cache_dtype), t0, axis=1)
+                    new_v[i], keep_v.swapaxes(0, 1).astype(cache_dtype),
+                    t0, axis=0)
 
                 if c.layer_norm_first:
                     x = x + h
@@ -230,8 +266,9 @@ class IncrementalBlockwiseEncoder:
             else:
                 commit = x_out[:, :n_keep]
             out_cache = jax.lax.dynamic_update_slice_in_dim(
-                state.out_cache, commit.astype(state.out_cache.dtype),
-                t0, axis=1)
+                state.out_cache,
+                commit.swapaxes(0, 1).astype(state.out_cache.dtype),
+                t0, axis=0)
             new_state = IncrementalEncoderState(
                 k_cache=tuple(new_k), v_cache=tuple(new_v),
                 out_cache=out_cache, t_main=t0 + n_keep)

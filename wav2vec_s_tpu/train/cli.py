@@ -33,6 +33,7 @@ from wav2vec_s_tpu.data.tokenizer import build_tokenizer
 from wav2vec_s_tpu.models import Wav2Vec2Config, Wav2Vec2Model
 from wav2vec_s_tpu.models.caat import CaatConfig, W2V2CaatModel
 from wav2vec_s_tpu.parallel import make_mesh, shard_batch
+from wav2vec_s_tpu.parallel.mesh import process_local_rows
 from wav2vec_s_tpu.train.config import TrainConfig, load_config
 from wav2vec_s_tpu.train.optim import build_optimizer
 from wav2vec_s_tpu.train.recipes import (
@@ -283,26 +284,37 @@ def main(argv=None):
             return loss, n
 
         # generation-based validation BLEU (rain w2v2_s2s_task.py:199-236)
-        vdecode = vrefs = None
-        if run.eval_bleu and run.task != "pretrain":
+        vdecode = vtexts = None
+        if run.eval_bleu and run.task != "pretrain" \
+                and jax.process_count() == 1:
+            # BLEU decode reads hypotheses back row-by-row, which needs a
+            # fully-addressable array; multi-host runs validate loss-only
             from wav2vec_s_tpu.eval.generator import (
                 make_offline_greedy_decoder)
             tgt_dict = vbatcher.tgt_dict
             vdecode = make_offline_greedy_decoder(model, tgt_dict, mc0, rc0)
-            texts = (vman.src_texts if cfg.data.task_type == "asr"
-                     else vman.tgt_texts)
-            vrefs = [texts[i] for b in vbatches for i in b]
+            vtexts = (vman.src_texts if cfg.data.task_type == "asr"
+                      else vman.tgt_texts)
 
-        valid_setup = (vbatcher, vbatches, vstep, vdecode, vrefs)
+        valid_setup = (vbatcher, vbatches, vstep, vdecode, vtexts, vsizes)
 
     def validate(params):
         from wav2vec_s_tpu.stream.searcher import detok_pieces
 
-        vbatcher, vbatches, vstep, vdecode, vrefs = valid_setup
+        vbatcher, vbatches, vstep, vdecode, vtexts, vsz = valid_setup
         tot, n = 0.0, 0.0
-        hyps = []
+        hyps, refs = [], []
         for bidx in vbatches:
-            hb = vbatcher.collate(bidx)
+            # multi-host: same row-sharded collation as training; on
+            # multi-process runs loss and BLEU cover this host's shard
+            if run.task == "pretrain":
+                hint = int(vsz[bidx].min())
+            else:
+                hint = int(vsz[bidx].max())
+                if cfg.data.features == "fbank":
+                    hint //= 160
+            local = bidx[process_local_rows(len(bidx))]
+            hb = vbatcher.collate(local, size_hint=hint)
             vb = shard_batch(mesh, hb)
             l, sz = vstep(params, vb, jax.random.PRNGKey(0))
             tot += float(l)
@@ -312,14 +324,15 @@ def main(argv=None):
                                     vb.get("padding_mask"))
                 pfx, lens = np.asarray(pfx), np.asarray(lens)
                 tok = getattr(vbatcher, "tokenizer", None)
-                for r in range(pfx.shape[0]):
+                for r in range(len(local)):
                     hyps.append(detok_pieces(vbatcher.tgt_dict, tok,
                                              pfx[r, 1:lens[r]]))
+                    refs.append(vtexts[local[r]])
         vloss = tot / max(n, 1.0)
         if vdecode is None:
             return vloss, None
         from wav2vec_s_tpu.eval.bleu import corpus_bleu
-        return vloss, corpus_bleu(hyps, vrefs[:len(hyps)])
+        return vloss, corpus_bleu(hyps, refs)
 
     # failure detection behind run.debug_nan (fairseq nan_detector.py via
     # trainer.py:801-811 + DistributedTimeoutWrapper): localize the first
@@ -361,7 +374,19 @@ def main(argv=None):
             ds = (sampled_steps[rng.randrange(len(sampled_steps))]
                   if sampled_steps else None)
 
-            host_batch = batcher.collate(batch_idx)
+            # multi-host: every process draws the same batch order and
+            # collates only its contiguous row block of the global batch;
+            # the size hint pins the pad/crop bucket to the GLOBAL batch
+            # so per-host shards collate to consistent shapes
+            if run.task == "pretrain":
+                hint = int(sizes[batch_idx].min())
+            else:
+                hint = int(sizes[batch_idx].max())
+                if cfg.data.features == "fbank":
+                    hint //= 160
+            host_batch = batcher.collate(
+                batch_idx[process_local_rows(len(batch_idx))],
+                size_hint=hint)
             if run.update_freq > 1:
                 host_batch = {k: _microbatch(v, run.update_freq)
                               for k, v in host_batch.items()}
