@@ -185,3 +185,34 @@ def test_collate_size_hint_makes_shards_shape_consistent(tmp_path):
     # 12000 -> 16000 happen to agree here, so check vs a small slice)
     small = b.collate(np.asarray([0, 2]))
     assert small["source"].shape[1] < s0["source"].shape[1]
+
+
+def test_preprocess_builds_fairseq_dict(tmp_path):
+    """fairseq-preprocess twin: counts, ordering, threshold, padding
+    factor, and round-trip through Dictionary.load."""
+    from wav2vec_s_tpu.data.dictionary import Dictionary
+    from wav2vec_s_tpu.data.preprocess import main as pp_main
+
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("a b a c\na b a\nb\n")      # a:4 b:3 c:1
+    out = tmp_path / "dict.txt"
+    pp_main(["--inputs", str(txt), "--tokenizer", "word",
+             "--threshold", "2", "--padding-factor", "4",
+             "--out", str(out)])
+
+    d = Dictionary.load(str(out))
+    # most-frequent first, c dropped by threshold
+    assert d.symbols[d.nspecial:d.nspecial + 2] == ["a", "b"]
+    assert "c" not in d.indices
+    assert len(d) % 4 == 0                      # padding factor
+    assert d.count[d.index("a")] == 4
+
+    # manifest input path
+    tsv = tmp_path / "m.tsv"
+    tsv.write_text("id\taudio\tn_frames\ttgt_text\n"
+                   "u0\tx.wav\t100\thello world\n"
+                   "u1\ty.wav\t100\thello\n")
+    out2 = tmp_path / "dict2.txt"
+    pp_main(["--manifests", str(tsv), "--out", str(out2)])
+    d2 = Dictionary.load(str(out2))
+    assert d2.index("hello") < d2.index("world")

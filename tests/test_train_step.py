@@ -169,3 +169,40 @@ def test_zero_sharded_optimizer_state_matches():
         and l.ndim >= 1
     ]
     assert sharded, "no optimizer-state leaf ended up sharded"
+
+
+def test_context_sampling_matches_reference_distribution():
+    """The (mc, rc) bucket draw must follow the reference's joint
+    distribution (wav2vec_S.py:392-395: mc = randint(4,16)*2,
+    rc = min(randint(2,8)*2, mc // 2)) pushed through nearest-bucket
+    snapping — not a uniform choice over buckets."""
+    import random as _random
+    from collections import Counter
+
+    from wav2vec_s_tpu.train.recipes import (
+        DEFAULT_CONTEXT_BUCKETS, sample_context_bucket)
+
+    buckets = DEFAULT_CONTEXT_BUCKETS
+
+    # exact expected frequencies: enumerate the 13 x 7 grid
+    exact = Counter()
+    for a in range(4, 17):
+        for b in range(2, 9):
+            mc, rc = a * 2, min(b * 2, a)
+            snap = min(buckets,
+                       key=lambda t: abs(t[0] - mc) + abs(t[1] - rc))
+            exact[snap] += 1
+    total = sum(exact.values())
+
+    rng = _random.Random(0)
+    n = 20000
+    got = Counter(sample_context_bucket(rng, buckets) for _ in range(n))
+
+    assert set(got) <= set(buckets)
+    for b in buckets:
+        want = exact[b] / total
+        have = got[b] / n
+        assert abs(have - want) < 0.02, (b, have, want)
+    # sanity: the distribution is NOT uniform over buckets
+    freqs = sorted(got[b] / n for b in buckets)
+    assert freqs[-1] > 2 * freqs[0]

@@ -367,8 +367,8 @@ def main(argv=None):
             if int(state.step) >= run.max_update:
                 break
             if run.task == "pretrain" and cfg.context.context_type == "sampling":
-                mc, rc = cfg.context.buckets[
-                    rng.randrange(len(cfg.context.buckets))]
+                from wav2vec_s_tpu.train.recipes import sample_context_bucket
+                mc, rc = sample_context_bucket(rng, cfg.context.buckets)
             else:
                 mc, rc = cfg.context.main_context, cfg.context.right_context
             ds = (sampled_steps[rng.randrange(len(sampled_steps))]
@@ -396,6 +396,15 @@ def main(argv=None):
 
             check_finite(logs, state)
             n = float(logs["sample_size"])
+            # --profile twin: trace steps [10, 20) once warm
+            if run.profile_dir:
+                step_now = int(state.step)
+                if step_now == 10:
+                    jax.profiler.start_trace(run.profile_dir)
+                elif step_now == 20:
+                    jax.profiler.stop_trace()
+                    print(f"profile trace written to {run.profile_dir}",
+                          file=sys.stderr)
             speed.update(1)
             for k, v in logs.items():
                 window.setdefault(k, []).append(float(v))
@@ -442,6 +451,11 @@ def main(argv=None):
 
     if watchdog is not None:
         watchdog.stop()
+    if run.profile_dir and 10 <= int(state.step) < 20:
+        try:
+            jax.profiler.stop_trace()     # run ended inside the window
+        except RuntimeError:
+            pass
     mgr.save(int(state.step), state, extra={"iterator": itr.state_dict()})
     print(f"training done at step {int(state.step)}", file=sys.stderr)
 

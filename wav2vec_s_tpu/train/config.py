@@ -68,6 +68,10 @@ class RunConfig:
     # patience track BLEU instead of loss (rain w2v2_s2s_task.py:109-123,
     # 199-236: eval_bleu + best_checkpoint_metric=bleu)
     eval_bleu: bool = False
+    # capture a jax.profiler trace of training steps [10, 20) into this
+    # directory (the --profile hook, fairseq_cli/hydra_train.py:40-43);
+    # open with TensorBoard/Perfetto/xprof
+    profile_dir: str = ""
 
 
 @dataclasses.dataclass

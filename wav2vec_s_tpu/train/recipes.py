@@ -81,9 +81,16 @@ def make_caat_loss_fn(model, caat_cfg, main_context=None, right_context=None,
 
 def sample_context_bucket(rng: random.Random,
                           buckets: Sequence[Tuple[int, int]]):
-    """Host-side (mc, rc) bucket draw approximating the reference's
-    ``randint(4,16)*2 / randint(2,8)*2, rc <= mc/2`` distribution."""
-    return buckets[rng.randrange(len(buckets))]
+    """Host-side (mc, rc) draw with the EXACT reference distribution
+    (wav2vec_S.py:392-395: ``mc = randint(4,16)*2``,
+    ``rc = min(randint(2,8)*2, mc // 2)``), snapped to the nearest
+    compiled bucket.  Bucket *frequencies* thus follow the reference's
+    joint distribution pushed through the snap map, instead of being
+    uniform over buckets — one executable per bucket still bounds the
+    compile count."""
+    mc = rng.randint(4, 16) * 2
+    rc = min(rng.randint(2, 8) * 2, mc // 2)
+    return min(buckets, key=lambda b: abs(b[0] - mc) + abs(b[1] - rc))
 
 
 # default bucket set covering the sampled range with few compilations
