@@ -216,3 +216,35 @@ def test_preprocess_builds_fairseq_dict(tmp_path):
     pp_main(["--manifests", str(tsv), "--out", str(out2)])
     d2 = Dictionary.load(str(out2))
     assert d2.index("hello") < d2.index("world")
+
+
+def test_prefetch_batches_order_and_errors():
+    from wav2vec_s_tpu.data.prefetch import prefetch_batches
+
+    calls = []
+
+    def collate(i):
+        calls.append(i)
+        return i * 10
+
+    out = list(prefetch_batches(range(7), collate, depth=2))
+    assert out == [(i, i * 10) for i in range(7)]
+    assert calls == list(range(7))          # order preserved
+
+    # depth=0: pure passthrough
+    out0 = list(prefetch_batches(range(3), collate, depth=0))
+    assert out0 == [(i, i * 10) for i in range(3)]
+
+    # producer exceptions surface at the consumer
+    def boom(i):
+        if i == 2:
+            raise ValueError("bad batch")
+        return i
+
+    it = prefetch_batches(range(5), boom, depth=2)
+    got = [next(it), next(it)]
+    assert [g[0] for g in got] == [0, 1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bad batch"):
+        for _ in it:
+            pass

@@ -94,6 +94,9 @@ class CaatBatcher:
     features: str = "raw"              # "raw" waveform | "fbank" log-mel
     # (rain st_raw_audio_triple_dataset serves both: raw for w2v2 models,
     # fbank via audio_encoder transforms for the fbank family)
+    transforms: Sequence = ()          # fbank feature transforms
+    # (rain audio_encoder.py:42-79 Whiten/TFMask), applied in order after
+    # logmel; strip augmentation (TFMask) for validation batchers
 
     def encode_target(self, idx: int) -> List[int]:
         text = (self.manifest.tgt_texts[idx] if self.task_type != "asr"
@@ -117,6 +120,8 @@ class CaatBatcher:
             if self.features == "fbank":
                 from wav2vec_s_tpu.data.audio import logmel_fbank
                 wav = logmel_fbank(wav)               # [T_frames, 80]
+                for t in self.transforms:
+                    wav = t(wav)
             wavs.append(wav)
             targets.append(np.asarray(self.encode_target(i), np.int64))
 

@@ -88,10 +88,16 @@ def build_caat(cfg: TrainConfig):
                                        multiple=16)
     else:
         audio_buckets = length_buckets(cfg.data.max_sample_size, multiple=640)
+    transforms = ()
+    if fbank:
+        from wav2vec_s_tpu.data.transforms import TFMask, Whiten
+        transforms = (Whiten(),) + (
+            (TFMask(seed=cfg.data.seed),) if cfg.data.specaugment else ())
     batcher = CaatBatcher(manifest, tgt_dict, tokenizer, audio_buckets,
                           task_type=cfg.data.task_type,
                           normalize=cfg.data.normalize,
-                          features=cfg.data.features)
+                          features=cfg.data.features,
+                          transforms=transforms)
     model_cfg = Wav2Vec2Config(
         main_context=cfg.context.main_context,
         right_context=cfg.context.right_context,
@@ -362,8 +368,29 @@ def main(argv=None):
     best_valid, bad_validations = float("inf"), 0
     stop = False
 
+    def _collate_train(batch_idx):
+        # multi-host: every process draws the same batch order and
+        # collates only its contiguous row block of the global batch;
+        # the size hint pins the pad/crop bucket to the GLOBAL batch
+        # so per-host shards collate to consistent shapes
+        if run.task == "pretrain":
+            hint = int(sizes[batch_idx].min())
+        else:
+            hint = int(sizes[batch_idx].max())
+            if cfg.data.features == "fbank":
+                hint //= 160
+        host_batch = batcher.collate(
+            batch_idx[process_local_rows(len(batch_idx))], size_hint=hint)
+        if run.update_freq > 1:
+            host_batch = {k: _microbatch(v, run.update_freq)
+                          for k, v in host_batch.items()}
+        return host_batch
+
+    from wav2vec_s_tpu.data.prefetch import prefetch_batches
+
     while int(state.step) < run.max_update and not stop:
-        for batch_idx in itr.next_epoch_itr():
+        for batch_idx, host_batch in prefetch_batches(
+                itr.next_epoch_itr(), _collate_train, run.prefetch):
             if int(state.step) >= run.max_update:
                 break
             if run.task == "pretrain" and cfg.context.context_type == "sampling":
@@ -374,22 +401,6 @@ def main(argv=None):
             ds = (sampled_steps[rng.randrange(len(sampled_steps))]
                   if sampled_steps else None)
 
-            # multi-host: every process draws the same batch order and
-            # collates only its contiguous row block of the global batch;
-            # the size hint pins the pad/crop bucket to the GLOBAL batch
-            # so per-host shards collate to consistent shapes
-            if run.task == "pretrain":
-                hint = int(sizes[batch_idx].min())
-            else:
-                hint = int(sizes[batch_idx].max())
-                if cfg.data.features == "fbank":
-                    hint //= 160
-            host_batch = batcher.collate(
-                batch_idx[process_local_rows(len(batch_idx))],
-                size_hint=hint)
-            if run.update_freq > 1:
-                host_batch = {k: _microbatch(v, run.update_freq)
-                              for k, v in host_batch.items()}
             batch = shard_batch(mesh, host_batch)
             state, logs = get_step(mc, rc, ds)(
                 state, batch, jax.random.fold_in(base_rng, int(state.step)))
@@ -468,7 +479,13 @@ def _microbatch(x: np.ndarray, k: int) -> np.ndarray:
 def dataclasses_replace_manifest(batcher, manifest):
     import dataclasses as _dc
 
-    return _dc.replace(batcher, manifest=manifest)
+    new = _dc.replace(batcher, manifest=manifest)
+    # validation batcher: strip augmentation transforms (TFMask)
+    if getattr(new, "transforms", ()):
+        from wav2vec_s_tpu.data.transforms import TFMask
+        new = _dc.replace(new, transforms=tuple(
+            t for t in new.transforms if not isinstance(t, TFMask)))
+    return new
 
 
 if __name__ == "__main__":

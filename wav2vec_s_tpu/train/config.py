@@ -34,6 +34,8 @@ class DataConfig:
     task_type: str = "st"              # CAAT: st | asr
     features: str = "raw"              # raw waveform | fbank (log-mel, the
     # rain fbank model family: tasks/transducer_task.py)
+    specaugment: bool = True           # fbank-only: TFMask during training
+    # (rain audio_encoder.py TFMask; validation always runs without it)
 
 
 @dataclasses.dataclass
@@ -64,6 +66,9 @@ class RunConfig:
     fsdp: bool = False                 # shard parameters over the data axis
     # NaN localization (fairseq nan_detector.py, trainer.py:801-811)
     debug_nan: bool = False
+    # background collation depth (fairseq DataLoader num_workers analogue,
+    # data/prefetch.py); 0 disables
+    prefetch: int = 2
     # generation-based BLEU during validation; when on, best-checkpoint +
     # patience track BLEU instead of loss (rain w2v2_s2s_task.py:109-123,
     # 199-236: eval_bleu + best_checkpoint_metric=bleu)
