@@ -25,6 +25,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the bench compiles several large fused
+# scans (remote TPU compile ~minutes); repeat runs hit the cache.  TPU
+# executables are host-independent here (same chip), unlike the CPU AOT
+# entries the test conftest deliberately avoids.
+jax.config.update("jax_compilation_cache_dir",
+                  str(__import__("pathlib").Path(__file__).parent
+                      / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 BASELINE_AUDIO_SEC_PER_SEC = 500.0  # north-star target (BASELINE.md)
 
 
