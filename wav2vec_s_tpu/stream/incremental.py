@@ -166,13 +166,13 @@ class IncrementalBlockwiseEncoder:
 
             t0 = state.t_main
             # key visibility: cached frames < t0, plus the intra-chunk mask
+            # (kept as two additive parts — the attention below never
+            # concatenates the cache and intra logits)
             cache_vis = (jnp.arange(self.t_cap)[None, :]
                          < t0)                              # [1, T_cap]
-            bias_cache = jnp.where(cache_vis, 0.0, MASK_VALUE)
-            bias_cache = jnp.broadcast_to(bias_cache, (n_rows, self.t_cap))
-            bias = jnp.concatenate(
-                [bias_cache, jnp.asarray(intra_bias)], axis=1)
-            bias = bias[None, None]                         # [1,1,R,K]
+            bias_c4 = jnp.where(cache_vis, 0.0,
+                                MASK_VALUE)[None, None]     # [1,1,1,T_cap]
+            bias_i4 = jnp.asarray(intra_bias)[None, None]   # [1,1,R,R]
 
             H = c.encoder_attention_heads
             D = c.encoder_embed_dim
@@ -212,20 +212,26 @@ class IncrementalBlockwiseEncoder:
                     kc = split_tm(state.k_cache[i].astype(x.dtype))
                     vc = split_tm(state.v_cache[i].astype(x.dtype))
                     # scores against the cache (time-major operand read in
-                    # place) and against the current chunk rows
+                    # place) and against the current chunk rows; TWO-PART
+                    # online softmax — the concatenated [.., T_cap+R] f32
+                    # logits never materialize (the softmax passes over
+                    # that tensor were ~half the scan's HBM time)
                     lg_cache = jnp.einsum(
                         "bhqd,tbhd->bhqt", qh, kc,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32) + bias_c4
                     lg_intra = jnp.einsum(
                         "bhqd,bhkd->bhqk", qh, split(k_new),
-                        preferred_element_type=jnp.float32)
-                    logits = jnp.concatenate([lg_cache, lg_intra], axis=-1)
-                    logits = logits + bias
-                    p_att = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-                    o = (jnp.einsum("bhqt,tbhd->bhqd",
-                                    p_att[..., :self.t_cap], vc)
-                         + jnp.einsum("bhqk,bhkd->bhqd",
-                                      p_att[..., self.t_cap:],
+                        preferred_element_type=jnp.float32) + bias_i4
+                    m = jnp.maximum(lg_cache.max(-1, keepdims=True),
+                                    lg_intra.max(-1, keepdims=True))
+                    e1 = jnp.exp(lg_cache - m)
+                    e2 = jnp.exp(lg_intra - m)
+                    inv = 1.0 / (e1.sum(-1, keepdims=True)
+                                 + e2.sum(-1, keepdims=True))
+                    p1 = (e1 * inv).astype(x.dtype)
+                    p2 = (e2 * inv).astype(x.dtype)
+                    o = (jnp.einsum("bhqt,tbhd->bhqd", p1, vc)
+                         + jnp.einsum("bhqk,bhkd->bhqd", p2,
                                       split(v_new)))
                     o = o.transpose(0, 2, 1, 3).reshape(x.shape)
                 h = _dense(att["out_proj"], o)
