@@ -248,3 +248,27 @@ def test_prefetch_batches_order_and_errors():
     with _pytest.raises(ValueError, match="bad batch"):
         for _ in it:
             pass
+
+
+def test_read_audio_batch_native_and_fallback(tmp_path):
+    """Batch decode: native parallel reader for .wav, per-file python
+    fallback for other formats, identical results either way."""
+    from wav2vec_s_tpu.data.audio import (
+        read_audio, read_audio_batch, write_wav)
+
+    rng = np.random.default_rng(0)
+    p1 = tmp_path / "a.wav"
+    write_wav(p1, (rng.standard_normal(1200) * 0.3).astype(np.float32))
+    p2 = tmp_path / "b.npy"
+    np.save(p2, (rng.standard_normal(700) * 0.3).astype(np.float32))
+    p3 = tmp_path / "c.wav"
+    write_wav(p3, (rng.standard_normal(300) * 0.3).astype(np.float32))
+
+    outs = read_audio_batch([p1, p2, p3], stride=2000)
+    for o, p in zip(outs, (p1, p2, p3)):
+        np.testing.assert_allclose(o, read_audio(p), atol=1e-6)
+
+    # stride smaller than a file: that file falls back, result unchanged
+    outs2 = read_audio_batch([p1, p3], stride=500)
+    np.testing.assert_allclose(outs2[0], read_audio(p1), atol=1e-6)
+    np.testing.assert_allclose(outs2[1], read_audio(p3), atol=1e-6)

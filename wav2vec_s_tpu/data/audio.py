@@ -111,6 +111,33 @@ def read_audio(path, expected_rate: int | None = 16000) -> np.ndarray:
     return np.ascontiguousarray(data, dtype=np.float32)
 
 
+def read_audio_batch(paths, stride: int,
+                     expected_rate: int | None = 16000):
+    """Decode a batch of audio files: plain ``.wav`` paths go through the
+    native parallel reader (C++ thread pool, native/speech_native.cpp);
+    anything it cannot handle (flac, npy, byte-range zip entries,
+    non-PCM16) falls back to the per-file python path.  Returns a list of
+    float32 arrays.
+    """
+    paths = [str(p) for p in paths]
+    outs: list = [None] * len(paths)
+    wav_idx = [i for i, p in enumerate(paths) if p.endswith(".wav")]
+    if wav_idx:
+        from wav2vec_s_tpu.native import read_wav_batch
+        r = read_wav_batch([paths[i] for i in wav_idx], stride)
+        if r is not None:
+            buf, lens, rates = r
+            for j, i in enumerate(wav_idx):
+                ok = lens[j] >= 0 and (
+                    expected_rate is None or rates[j] == expected_rate)
+                if ok:
+                    outs[i] = buf[j, :lens[j]]
+    for i, p in enumerate(paths):
+        if outs[i] is None:
+            outs[i] = read_audio(p, expected_rate)
+    return outs
+
+
 def write_wav(path, data: np.ndarray, rate: int = 16000) -> None:
     """Write float32 [-1, 1] mono as 16-bit PCM (test fixtures, demos)."""
     pcm = np.clip(data, -1.0, 1.0)

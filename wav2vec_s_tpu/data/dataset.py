@@ -21,7 +21,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from wav2vec_s_tpu.data.audio import read_audio, instance_normalize
+from wav2vec_s_tpu.data.audio import (
+    read_audio, read_audio_batch, instance_normalize)
 from wav2vec_s_tpu.data.batching import bucket_for, pad_to
 from wav2vec_s_tpu.data.dictionary import Dictionary
 from wav2vec_s_tpu.data.manifests import AudioManifest, S2TManifest
@@ -55,7 +56,11 @@ class PretrainBatcher:
         multi-host runs every process collates its row slice of one global
         batch and must pick the same crop bucket (train/cli.py passes the
         manifest-derived global min)."""
-        wavs = [self.load(i) for i in indices]
+        stride = int(max(self.manifest.sizes[i] for i in indices))
+        wavs = read_audio_batch(
+            [self.manifest.full_path(i) for i in indices], stride)
+        if self.normalize:
+            wavs = [instance_normalize(w) for w in wavs]
         shortest = min(len(w) for w in wavs)
         if size_hint is not None:
             shortest = min(shortest, size_hint)
@@ -112,9 +117,11 @@ class CaatBatcher:
         of one global batch and must agree on the pad bucket.  (Targets:
         use a single-valued ``target_buckets`` on multi-host runs so the
         text dim is host-independent too.)"""
+        stride = int(max(self.manifest.n_frames[i] for i in indices))
+        raw = read_audio_batch(
+            [self.manifest.audio_paths[i] for i in indices], stride)
         wavs, targets = [], []
-        for i in indices:
-            wav = read_audio(self.manifest.audio_paths[i])
+        for wav, i in zip(raw, indices):
             if self.normalize:
                 wav = instance_normalize(wav)
             if self.features == "fbank":

@@ -51,6 +51,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.batch_by_size.argtypes = [p64, i64, i64, i64, i64, p64]
     lib.bleu_counts.restype = None
     lib.bleu_counts.argtypes = [p64, i64, p64, i64, p64, p64]
+    pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.read_wav_batch.restype = i64
+    lib.read_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), i64, pf32, i64, p64, p64, i64]
     _lib = lib
     return lib
 
@@ -99,3 +103,23 @@ def bleu_counts(hyp: List[str], ref: List[str]):
 
 def available() -> bool:
     return _load() is not None
+
+
+def read_wav_batch(paths: List[str], stride: int, threads: int = 8):
+    """Decode a batch of PCM16 WAV files in parallel (C++ thread pool)
+    into a fresh [n, stride] float32 buffer.
+
+    Returns (out, lens, rates) with lens[i] = -1 for files the native
+    reader cannot handle (caller falls back per-file), or None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.zeros((n, stride), np.float32)
+    lens = np.zeros(n, np.int64)
+    rates = np.zeros(n, np.int64)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.read_wav_batch(arr, n, out, stride, lens, rates, threads)
+    return out, lens, rates
