@@ -125,3 +125,32 @@ def test_lm_prefill_matches_step_chain(normalize_before):
     np.testing.assert_allclose(np.asarray(nxt.h_last),
                                np.asarray(want.h_last),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("normalize_before", [True, False])
+def test_lm_slot_step_matches_lm_step(normalize_before):
+    """The slot-aligned LM state (global write pointer + validity plane)
+    must produce the same ``h_last`` as the position-aligned ``lm_step``
+    under an arbitrary advance pattern — attention is order-independent,
+    so cache slot order must not matter."""
+    model, params, caat, _ = _build(normalize_before)
+    N = 2
+    rng = np.random.default_rng(1)
+    lm = caat_step.lm_init(params, caat, N, 16)
+    slot = caat_step.lm_slot_init(params, caat, N, 16)
+    np.testing.assert_allclose(np.asarray(slot.h_last),
+                               np.asarray(lm.h_last), atol=1e-5)
+    lens = np.ones(N, np.int32)
+    for step in range(6):
+        adv = np.asarray([step % 2 == 0, step % 3 != 0])
+        toks = rng.integers(4, caat.vocab_size, N).astype(np.int32)
+        lm = caat_step.lm_step(params, caat, lm, jnp.asarray(toks),
+                               jnp.asarray(lens), jnp.asarray(adv))
+        slot = caat_step.lm_slot_step(params, caat, slot,
+                                      jnp.asarray(toks), jnp.asarray(lens),
+                                      jnp.asarray(adv))
+        lens += adv.astype(np.int32)
+        np.testing.assert_allclose(np.asarray(slot.h_last),
+                                   np.asarray(lm.h_last), atol=2e-5,
+                                   rtol=1e-4)
+    assert int(slot.ptr) == 7

@@ -140,6 +140,132 @@ def lm_step(params, cfg, state: LMState, tokens: jnp.ndarray,
     return LMState(k=tuple(new_k), v=tuple(new_v), h_last=h_last)
 
 
+class SlotLMState(struct.PyTreeNode):
+    """Slot-aligned incremental LM state for lockstep greedy decode.
+
+    Same math as ``LMState``/``lm_step`` but the K/V cache row is the
+    *global emission-step counter* (``ptr``), identical for every stream,
+    instead of the per-stream prefix position.  Attention is a set
+    operation — key order is irrelevant as long as exactly the prefix
+    keys are visible — so a per-stream validity plane replaces positional
+    masking.  This turns the per-emission cache write from a scatter at
+    per-stream indices (which XLA executes as a full-buffer pass) into a
+    leading-axis ``dynamic_update_slice`` (in place), and shrinks the
+    cache capacity from ``max_len`` to the number of decode iterations
+    the chunk loop can execute, cutting the fused scan's loop-carry
+    traffic several-fold.  Equivalence with ``lm_step`` is pinned by
+    tests/test_caat_step.py.
+
+    k/v: per-layer tuples of [S, N, D] (S = slot capacity); valid: [S, N]
+    bool — slot s holds a real prefix key of stream n; ptr: scalar int32
+    next write slot; h_last: [N, D] jointer query (as in ``LMState``).
+    """
+
+    k: tuple
+    v: tuple
+    valid: jnp.ndarray
+    ptr: jnp.ndarray
+    h_last: jnp.ndarray
+
+
+def _attend_slots(q, k_cache, v_cache, valid, n_heads):
+    """One-query attention over slot-aligned caches.
+
+    q: [N, D]; k_cache/v_cache: [S, N, D]; valid: [S, N] bool."""
+    S, N, D = k_cache.shape
+    H = n_heads
+    Dh = D // H
+    qh = q.reshape(N, H, Dh)
+    kh = k_cache.reshape(S, N, H, Dh)
+    vh = v_cache.reshape(S, N, H, Dh)
+    logits = jnp.einsum("nhd,snhd->nhs", qh, kh,
+                        preferred_element_type=jnp.float32) * (Dh ** -0.5)
+    bias = jnp.where(valid.T, 0.0, MASK_VALUE)          # [N, S]
+    logits = logits + bias[:, None, :]
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("nhs,snhd->nhd", p, vh)
+    return out.reshape(N, D)
+
+
+def lm_slot_step(params, cfg, state: SlotLMState, tokens: jnp.ndarray,
+                 index: jnp.ndarray, advance: jnp.ndarray) -> SlotLMState:
+    """Slot-aligned twin of ``lm_step``.
+
+    tokens/index/advance as in ``lm_step`` (``index`` is still the prefix
+    position — it drives the positional embedding); the K/V rows land at
+    slot ``state.ptr`` and are marked valid only where ``advance``.
+    """
+    c = cfg
+    D = c.decoder_embed_dim
+    lm = params["decoder_lm"]
+    embed = params.get("embed_tokens", lm.get("embed_tokens"))
+    dtype = c.compute_dtype
+
+    x = embed.astype(dtype)[tokens] * (D ** 0.5)                 # [N, D]
+    table = sinusoidal_table(
+        c.max_target_positions + PADDING_IDX + 1 + c.rand_pos_decoder, D)
+    x = x + table[index + 1 + PADDING_IDX].astype(dtype)
+
+    ptr = state.ptr
+    # the new row is visible to its own query regardless of ``advance``
+    # (a query always attends its own position); commit to the validity
+    # plane only where the stream actually advances
+    qvalid = jax.lax.dynamic_update_slice_in_dim(
+        state.valid, jnp.ones((1,) + state.valid.shape[1:], bool), ptr,
+        axis=0)
+    new_valid = jax.lax.dynamic_update_slice_in_dim(
+        state.valid, advance[None], ptr, axis=0)
+    new_k, new_v = list(state.k), list(state.v)
+    for i in range(c.decoder_layers):
+        lp = lm[f"layer_{i}"]
+        att = lp["self_attn"]
+        h_in = (_ln(lp["self_attn_layer_norm"], x)
+                if c.decoder_normalize_before else x)
+        q = _dense(att["q_proj"], h_in)
+        k1 = _dense(att["k_proj"], h_in)
+        v1 = _dense(att["v_proj"], h_in)
+        new_k[i] = jax.lax.dynamic_update_slice_in_dim(
+            new_k[i], k1[None].astype(new_k[i].dtype), ptr, axis=0)
+        new_v[i] = jax.lax.dynamic_update_slice_in_dim(
+            new_v[i], v1[None].astype(new_v[i].dtype), ptr, axis=0)
+        o = _attend_slots(q, new_k[i].astype(dtype), new_v[i].astype(dtype),
+                          qvalid, c.decoder_attention_heads)
+        h = _dense(att["out_proj"], o)
+        if c.decoder_normalize_before:
+            x = x + h
+            hf = _dense(lp["fc2"], jax.nn.relu(
+                _dense(lp["fc1"], _ln(lp["final_layer_norm"], x))))
+            x = x + hf
+        else:
+            x = _ln(lp["self_attn_layer_norm"], x + h)
+            hf = _dense(lp["fc2"], jax.nn.relu(_dense(lp["fc1"], x)))
+            x = _ln(lp["final_layer_norm"], x + hf)
+
+    if c.decoder_normalize_before:
+        x = _ln(lm["layer_norm"], x)
+    h_last = jnp.where(advance[:, None], x, state.h_last)
+    return SlotLMState(k=tuple(new_k), v=tuple(new_v), valid=new_valid,
+                       ptr=ptr + 1, h_last=h_last)
+
+
+def lm_slot_init(params, cfg, n_streams: int, n_slots: int,
+                 bos: int | None = None, dtype=None) -> SlotLMState:
+    """Empty slot caches + one step on bos (slot 0 = bos, valid for all)."""
+    c = cfg
+    dtype = dtype or c.compute_dtype
+    z = tuple(jnp.zeros((n_slots, n_streams, c.decoder_embed_dim), dtype)
+              for _ in range(c.decoder_layers))
+    state = SlotLMState(
+        k=z, v=z, valid=jnp.zeros((n_slots, n_streams), bool),
+        ptr=jnp.zeros((), jnp.int32),
+        h_last=jnp.zeros((n_streams, c.decoder_embed_dim), dtype))
+    bos_id = c.bos if bos is None else bos
+    toks = jnp.full((n_streams,), bos_id, jnp.int32)
+    return lm_slot_step(params, cfg, state, toks,
+                        jnp.zeros(n_streams, jnp.int32),
+                        jnp.ones(n_streams, bool))
+
+
 def lm_prefill(params, cfg, tokens: jnp.ndarray, lens: jnp.ndarray,
                u_cap: int) -> LMState:
     """Full-prefix LM forward that ALSO materializes the per-layer K/V
