@@ -79,12 +79,15 @@ def encoder_bench(attention_impl: str = "flash"):
     return B * seconds * iters / dt
 
 
-def _build_caat(dtype="bfloat16"):
+def _build_caat(dtype="bfloat16", attention_impl="dense"):
     """wav2vec-S Base encoder + CAAT base decoder/jointer, random weights."""
     from wav2vec_s_tpu.models import wav2vec_s_base_config
     from wav2vec_s_tpu.models.caat import CaatConfig, W2V2CaatModel
 
-    w2v = wav2vec_s_base_config(dtype=dtype, encoder_layerdrop=0.0)
+    w2v = wav2vec_s_base_config(dtype=dtype, encoder_layerdrop=0.0,
+                                attention_impl=attention_impl,
+                                dropout=0.0, attention_dropout=0.0,
+                                activation_dropout=0.0)
     caat = CaatConfig(dtype=dtype, dropout=0.0, attention_dropout=0.0,
                       activation_dropout=0.0)
     model = W2V2CaatModel(w2v, caat)
@@ -126,10 +129,54 @@ def agent_bench(decision_step: int, n_streams: int = 128,
             for _ in range(n_streams)]
     dec.decode_corpus(wavs)  # compile + warmup
 
+    # steady-state serving pattern: stage batch k+1 (async host->device
+    # copy) before blocking on batch k, so the host link overlaps compute
     iters = 3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        texts, delays = dec.decode_corpus(wavs)
+    staged = dec.stage(wavs)
+    for i in range(iters):
+        nxt = dec.stage(wavs) if i + 1 < iters else None
+        texts, delays = dec.decode_corpus(staged)
+        staged = nxt
+    dt = time.perf_counter() - t0
+    assert any(texts), "decoder emitted nothing"
+    return n_streams * seconds * iters / dt
+
+
+def oneshot_bench(decision_step: int, n_streams: int = 256,
+                  seconds: float = 10.0, max_emit: int = 4):
+    """Corpus-eval fast path: one-shot blockwise encode (flash mask) +
+    fused chunkwise decision scan — emission-identical to the incremental
+    agent path (tests/test_oneshot_decode.py), measured at the larger
+    stream batch the lighter memory footprint allows."""
+    from wav2vec_s_tpu.data.dictionary import Dictionary
+    from wav2vec_s_tpu.stream.batched import OneShotCorpusDecoder
+
+    model, params, w2v, caat = _build_caat(attention_impl="flash")
+    vocab = Dictionary()
+    for i in range(caat.vocab_size - vocab.nspecial):
+        vocab.add_symbol(f"w{i}")
+
+    S = int(seconds * 16000)
+    frames = (S - 400) // 320 + 1
+    t_cap = -(-(frames + w2v.right_context) // 128) * 128
+    dec = OneShotCorpusDecoder(
+        model, params, vocab, w2v, max_len=256, max_emit_per_chunk=max_emit,
+        t_cap=t_cap, blocks_per_step=decision_step)
+    dec.transfer_dtype = "int16"
+
+    rng = np.random.default_rng(0)
+    wavs = [rng.standard_normal(S).astype(np.float32) * 0.1
+            for _ in range(n_streams)]
+    dec.decode_corpus(wavs)  # compile + warmup
+
+    iters = 3
+    t0 = time.perf_counter()
+    staged = dec.stage(wavs)
+    for i in range(iters):
+        nxt = dec.stage(wavs) if i + 1 < iters else None
+        texts, delays = dec.decode_corpus(staged)
+        staged = nxt
     dt = time.perf_counter() - t0
     assert any(texts), "decoder emitted nothing"
     return n_streams * seconds * iters / dt
@@ -278,6 +325,7 @@ def lattice_bench(impl: str, B=16, T=32, U=65, V=512, iters=10):
 def main():
     agent_ds2 = agent_bench(decision_step=2)
     agent_ds10 = agent_bench(decision_step=10)
+    oneshot_ds2 = oneshot_bench(decision_step=2)
     enc = encoder_bench()
     beam5 = beam_bench()
     train_dense = train_bench("dense")
@@ -291,6 +339,7 @@ def main():
         "vs_baseline": round(agent_ds2 / BASELINE_AUDIO_SEC_PER_SEC, 3),
         "extras": {
             "streaming_agent_throughput_ds10": round(agent_ds10, 2),
+            "oneshot_corpus_throughput_ds2": round(oneshot_ds2, 2),
             "blockwise_encode_throughput": round(enc, 2),
             "streaming_beam5_throughput": round(beam5, 2),
             "train_step_dense_attn": train_dense,

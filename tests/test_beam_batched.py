@@ -133,3 +133,23 @@ def test_batched_beam_word_gated_emission():
     # same token stream; whitespace grouping may differ because emission
     # timing differs (host searcher behaves identically for word vocabs)
     assert "".join(t_eager[0].split()) == "".join(t_gated[0].split())
+
+
+def test_oneshot_beam_matches_incremental_beam():
+    """One-shot corpus beam (full encode + interleaved halves) must emit
+    exactly what the incremental batched beam decoder emits."""
+    from wav2vec_s_tpu.stream.beam_batched import OneShotBeamDecoder
+
+    model, params, vocab = _setup()
+    kw = dict(beam_size=3, inter_beam=1, gen_beam=2.0, max_steps=5,
+              max_len=64, eager=True, t_cap=64)
+    # four streams of two different lengths -> both interleave halves run
+    # and per-stream is_end/visible schedules diverge
+    wavs = [_chunked_audio(4, 0), _chunked_audio(3, 7),
+            _chunked_audio(4, 5), _chunked_audio(2, 9)]
+    a = BatchedBeamStreamingDecoder(model, params, vocab, W2V_TINY, **kw)
+    b = OneShotBeamDecoder(model, params, vocab, W2V_TINY, **kw)
+    ta, da = a.decode_corpus(wavs)
+    tb, db = b.decode_corpus(wavs)
+    assert ta == tb
+    assert da == db

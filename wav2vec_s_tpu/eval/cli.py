@@ -112,31 +112,70 @@ def cmd_simul(args):
 
 
 def cmd_batch_decode(args):
-    """Batched greedy streaming decode over the O(T) incremental encoder —
-    the throughput path (one fused device call per corpus batch)."""
+    """Batched streaming decode of a corpus — the throughput path.
+
+    ``--decoder`` picks the engine: ``fused``/``cached`` stream through the
+    O(T) incremental encoder (serving semantics); ``oneshot`` encodes each
+    utterance once and replays the decision loop (corpus-eval fast path,
+    emission-identical); ``beam``/``oneshot-beam`` are the quality twins at
+    ``--intra-beam``.  Utterances are length-sorted into ``--batch-size``
+    buckets so one executable serves each batch shape."""
     from wav2vec_s_tpu.data import read_s2t_manifest
     from wav2vec_s_tpu.data.audio import read_audio
     from wav2vec_s_tpu.eval.bleu import corpus_bleu
     from wav2vec_s_tpu.eval.wer import corpus_wer
-    from wav2vec_s_tpu.stream.batched import FusedIncrementalGreedyDecoder
+    from wav2vec_s_tpu.models.feature_extractor import conv_output_length
+    from wav2vec_s_tpu.stream.batched import (
+        CachedFusedGreedyDecoder, FusedIncrementalGreedyDecoder,
+        OneShotCorpusDecoder)
+    from wav2vec_s_tpu.stream.beam_batched import (
+        BatchedBeamStreamingDecoder, OneShotBeamDecoder)
     from wav2vec_s_tpu.stream.latency import average_lagging
     from wav2vec_s_tpu.train.config import load_config
 
     cfg = load_config(args.config, args.overrides)
     model, tgt_dict, model_cfg, caat_cfg = _build_caat(cfg)
     params = _load_params(args.ckpt_dir, args.average_k)
-    dec = FusedIncrementalGreedyDecoder(
-        model, params, tgt_dict, model_cfg,
-        max_emit_per_chunk=4 * args.step_read_blocks,
-        blocks_per_step=args.step_read_blocks)
     man = read_s2t_manifest(args.manifest, cfg.data.audio_root)
     n = min(len(man.ids), args.max_instances or len(man.ids))
     wavs = [read_audio(man.audio_paths[i]) for i in range(n)]
     refs = [man.tgt_texts[i] if args.metric == "bleu"
             else (man.src_texts[i] or man.tgt_texts[i]) for i in range(n)]
+
+    frames = conv_output_length(max(len(w) for w in wavs),
+                                model_cfg.conv_feature_layers)
+    t_cap = -(-(frames + model_cfg.right_context) // 128) * 128
+    greedy_kw = dict(max_emit_per_chunk=4 * args.step_read_blocks,
+                     blocks_per_step=args.step_read_blocks, t_cap=t_cap)
+    beam_kw = dict(beam_size=args.intra_beam, inter_beam=args.inter_beam,
+                   gen_beam=args.gen_beam, eager=args.eager,
+                   len_scale=args.len_scale, t_cap=t_cap,
+                   blocks_per_step=args.step_read_blocks)
+    dec = {
+        "fused": lambda: FusedIncrementalGreedyDecoder(
+            model, params, tgt_dict, model_cfg, **greedy_kw),
+        "cached": lambda: CachedFusedGreedyDecoder(
+            model, params, tgt_dict, model_cfg, **greedy_kw),
+        "oneshot": lambda: OneShotCorpusDecoder(
+            model, params, tgt_dict, model_cfg, **greedy_kw),
+        "beam": lambda: BatchedBeamStreamingDecoder(
+            model, params, tgt_dict, model_cfg, **beam_kw),
+        "oneshot-beam": lambda: OneShotBeamDecoder(
+            model, params, tgt_dict, model_cfg, **beam_kw),
+    }[args.decoder]()
+
+    # length-sorted batches: similar lengths share padded shapes
+    order = sorted(range(n), key=lambda i: -len(wavs[i]))
+    bs = args.batch_size or n
+    hyps = [None] * n
+    delays = [None] * n
     import time
     t0 = time.time()
-    hyps, delays = dec.decode_corpus(wavs)
+    for s in range(0, n, bs):
+        rows = order[s:s + bs]
+        th, td = dec.decode_corpus([wavs[i] for i in rows])
+        for r, h, d in zip(rows, th, td):
+            hyps[r], delays[r] = h, d
     dt = time.time() - t0
     audio_sec = sum(len(w) for w in wavs) / 16000.0
     al = [average_lagging(d, len(w) / 16.0, max(len(r.split()), 1))
@@ -212,6 +251,10 @@ def main(argv=None):
         sp.add_argument("--max-len-b", type=float, default=-5.0)
         sp.add_argument("--max-instances", type=int, default=0)
         sp.add_argument("--platform", default=None)
+        sp.add_argument("--decoder", default="cached",
+                        choices=["fused", "cached", "oneshot", "beam",
+                                 "oneshot-beam"])
+        sp.add_argument("--batch-size", type=int, default=128)
         sp.add_argument("overrides", nargs="*", default=[])
 
     ps = sub.add_parser("simul")

@@ -425,11 +425,18 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
     #: on device, halving transfer bytes over the host link.
     transfer_dtype = "float32"
 
-    def decode_corpus(self, wavs: List[np.ndarray]):
-        from wav2vec_s_tpu.stream import caat_step
+    def stage(self, wavs: List[np.ndarray]):
+        """Assemble + start the async host->device transfer of a corpus.
 
+        Returns an opaque handle for ``decode_corpus``.  The transfer
+        proceeds while the device is busy with a previous corpus, so a
+        caller that stages batch k+1 before blocking on batch k hides the
+        host-link latency entirely (the link is the slowest leg of the
+        remote-device path: ~500 ms for 128x10 s of int16 audio)."""
         N = len(wavs)
-        enc = self._enc_factory(N)
+        enc = self._enc_cache.get(N)
+        if enc is None:
+            enc = self._enc_cache[N] = self._enc_factory(N)
         hop, W = enc.hop, enc.window
         max_samples = max(len(w) for w in wavs)
         int16 = self.transfer_dtype == "int16"
@@ -440,21 +447,17 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 audio[i, :len(w)] = np.clip(w * 32768.0, -32768, 32767)
             else:
                 audio[i, :len(w)] = w
-        total_frames = (max_samples - enc.rf) // hop + 1
-        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
-        stride = enc.n_main * hop
+        return N, max_samples, jax.device_put(audio)
 
-        model, vocab = self.model, self.vocab
-        caat = model.cfg
+    def _make_greedy(self):
+        """Greedy emission loop over cached jointer K/V + slot LM state.
+
+        Returns greedy(params, prefixes, lens, lm, jk, jv, visible) — shared
+        by the incremental fused scan and the one-shot corpus decoder."""
+        from wav2vec_s_tpu.stream import caat_step
+
+        vocab, caat = self.vocab, self.model.cfg
         max_emit, max_len = self.max_emit, self.max_len
-        t_cap = self.t_cap
-        mc, rc = self.mc, self.rc
-
-        def window_at(audio_dev, start):
-            win = jax.lax.dynamic_slice(audio_dev, (0, start), (N, W))
-            if int16:
-                win = win.astype(jnp.float32) / 32768.0
-            return win
 
         def greedy(params, prefixes, lens, lm, jk, jv, visible):
             blank, pad = vocab.bos(), vocab.pad()
@@ -475,7 +478,8 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 prefixes = prefixes.at[jnp.arange(n), lens].set(
                     jnp.where(emit, tok.astype(prefixes.dtype),
                               prefixes[jnp.arange(n), lens]))
-                lm = caat_step.lm_step(params, caat, lm, tok, lens, emit)
+                lm = caat_step.lm_slot_step(params, caat, lm, tok, lens,
+                                            emit)
                 lens = lens + emit.astype(lens.dtype)
                 return prefixes, lens, lm, blocked | ~emit, i + 1
 
@@ -485,69 +489,16 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 (prefixes, lens, lm, blocked, jnp.zeros((), jnp.int32)))
             return prefixes, lens, lm
 
-        def fused(params, estate, jk, jv, prefixes, lens, audio_dev):
-            lm = caat_step.lm_init(params, caat, N, max_len + 1)
+        return greedy
 
-            def scan_body(carry, start):
-                estate, jk, jv, lm, prefixes, lens = carry
-                t0 = estate.t_main
-                estate = enc.step_fn(params["encoder"], estate,
-                                     window_at(audio_dev, start))
-                x_new = jax.lax.dynamic_slice_in_dim(
-                    estate.out_cache, t0, enc.n_main, axis=0)
-                k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
-                jk, jv = caat_step.jointer_kv_append(jk, jv, k_new, v_new,
-                                                     t0)
-                visible = estate.t_main * jnp.ones((prefixes.shape[0],),
-                                                   jnp.int32)
-                prefixes, lens, lm = greedy(params, prefixes, lens, lm,
-                                            jk, jv, visible)
-                return (estate, jk, jv, lm, prefixes, lens), lens
-
-            starts = jnp.arange(n_chunks - 1, dtype=jnp.int32) * stride
-            (estate, jk, jv, lm, prefixes, lens), lens_hist = jax.lax.scan(
-                scan_body, (estate, jk, jv, lm, prefixes, lens), starts)
-            # final chunk: flush commits mc + rc frames
-            t0 = estate.t_main
-            estate = enc.flush_fn(
-                params["encoder"], estate,
-                window_at(audio_dev, (n_chunks - 1) * stride))
-            x_new = jax.lax.dynamic_slice_in_dim(estate.out_cache, t0,
-                                                 enc.n_main + rc, axis=0)
-            k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
-            jk, jv = caat_step.jointer_kv_append(jk, jv, k_new, v_new, t0)
-            visible = estate.t_main * jnp.ones((prefixes.shape[0],),
-                                               jnp.int32)
-            prefixes, lens, lm = greedy(params, prefixes, lens, lm, jk, jv,
-                                        visible)
-            lens_hist = jnp.concatenate([lens_hist, lens[None]], 0)
-            return prefixes, lens, lens_hist
-
-        if not hasattr(self, "_fused_cached"):
-            # donate the carry buffers (encoder state, jointer K/V caches,
-            # prefixes/lens): they are rebuilt per corpus call, and without
-            # donation XLA materializes a full copy of every cache inside
-            # the scan — ~2x HBM, capping the stream batch
-            self._fused_cached = jax.jit(fused, donate_argnums=(1, 2, 3,
-                                                                4, 5))
-
-        estate = enc.init()
-        cdtype = estate.out_cache.dtype
-        jk = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim), cdtype)
-                   for _ in range(caat.jointer_layers))
-        jv = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim), cdtype)
-                   for _ in range(caat.jointer_layers))
-        prefixes = np.full((N, self.max_len + 1), vocab.pad(), np.int32)
-        prefixes[:, 0] = vocab.bos()
-        prefixes, lens, lens_hist = self._fused_cached(
-            self.params, estate, jk, jv, jnp.asarray(prefixes),
-            jnp.ones(N, jnp.int32), jnp.asarray(audio))
-
+    def _texts_and_delays(self, prefixes, lens_hist, n_chunks, stride, W, N):
+        """Shared tail: per-chunk delay bookkeeping + surface assembly."""
+        vocab = self.vocab
         lens_all = np.asarray(lens_hist)
         delays = [[] for _ in range(N)]
         prev = np.ones(N, np.int32)
         for k in range(n_chunks):
-            ms = (k * mc * hop + W) / 16.0
+            ms = (k * stride + W) / 16.0
             for i in range(N):
                 delays[i].extend([ms] * int(lens_all[k, i] - prev[i]))
             prev = lens_all[k]
@@ -561,3 +512,257 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
             texts.append("".join(pieces).replace("▁", " ").strip()
                          if pieces else "")
         return texts, delays
+
+    def decode_corpus(self, wavs):
+        from wav2vec_s_tpu.stream import caat_step
+
+        if isinstance(wavs, tuple) and len(wavs) == 3:
+            N, max_samples, audio = wavs          # pre-staged handle
+        else:
+            N, max_samples, audio = self.stage(wavs)
+        enc = self._enc_cache[N]
+        hop, W = enc.hop, enc.window
+        int16 = self.transfer_dtype == "int16"
+        total_frames = (max_samples - enc.rf) // hop + 1
+        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
+        stride = enc.n_main * hop
+        # LM cache slots: bos + one per greedy iteration the chunk loop can
+        # possibly run (typically far below max_len)
+        n_slots = -(-(n_chunks * self.max_emit + 1) // 8) * 8
+
+        model, vocab = self.model, self.vocab
+        caat = model.cfg
+        max_len = self.max_len
+        t_cap = self.t_cap
+        rc = self.rc
+
+        def window_at(audio_dev, start):
+            win = jax.lax.dynamic_slice(audio_dev, (0, start), (N, W))
+            if int16:
+                win = win.astype(jnp.float32) / 32768.0
+            return win
+
+        from wav2vec_s_tpu.stream.incremental import init_state
+
+        greedy = self._make_greedy()
+
+        def fused(params, audio_dev):
+            # every piece of decode state is created ON DEVICE inside the
+            # jit: shipping ~30 separate 100 MB zero buffers from the host
+            # (one RPC each over the remote-device transport) left the chip
+            # idle ~35% of the corpus wall-clock
+            w2v = enc.cfg
+            estate = init_state(N, w2v.encoder_layers, w2v.encoder_embed_dim,
+                                t_cap, w2v.compute_dtype)
+            cdtype = estate.out_cache.dtype
+            jk = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim), cdtype)
+                       for _ in range(caat.jointer_layers))
+            jv = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim), cdtype)
+                       for _ in range(caat.jointer_layers))
+            prefixes = jnp.full((N, max_len + 1), vocab.pad(), jnp.int32)
+            prefixes = prefixes.at[:, 0].set(vocab.bos())
+            lens = jnp.ones((N,), jnp.int32)
+            lm = caat_step.lm_slot_init(params, caat, N, n_slots)
+
+            # segment the chunk loop by a STATIC cache capacity: early
+            # chunks read only a prefix of the encoder/jointer K/V buffers
+            # (the full-capacity reads were the scan's top HBM cost).  One
+            # scan (and one encoder-step variant) per capacity bucket;
+            # seg=256 bounds how many encoder bodies get compiled.
+            seg = 256
+            n_main = enc.n_main
+
+            def cap_of(v):
+                return min(-(-v // seg) * seg, t_cap)
+
+            def chunk_step(carry, start, step_fn, cap, n_new):
+                estate, jk, jv, lm, prefixes, lens = carry
+                t0 = estate.t_main
+                estate = step_fn(params["encoder"], estate,
+                                 window_at(audio_dev, start))
+                x_new = jax.lax.dynamic_slice_in_dim(
+                    estate.out_cache, t0, n_new, axis=0)
+                k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
+                jk, jv = caat_step.jointer_kv_append(jk, jv, k_new, v_new,
+                                                     t0)
+                visible = estate.t_main * jnp.ones((prefixes.shape[0],),
+                                                   jnp.int32)
+                prefixes, lens, lm = greedy(
+                    params, prefixes, lens, lm,
+                    tuple(k[:cap] for k in jk), tuple(v[:cap] for v in jv),
+                    visible)
+                return (estate, jk, jv, lm, prefixes, lens), lens
+
+            carry = (estate, jk, jv, lm, prefixes, lens)
+            hists = []
+            k0 = 0
+            while k0 < n_chunks - 1:
+                cap = cap_of((k0 + 1) * n_main)
+                k1 = k0
+                while k1 < n_chunks - 1 and cap_of((k1 + 1) * n_main) == cap:
+                    k1 += 1
+                step_c = enc.step_fn_cap(min(cap, t_cap))
+
+                def scan_body(carry, start, step_c=step_c, cap=cap):
+                    return chunk_step(carry, start, step_c, cap, n_main)
+
+                starts = jnp.arange(k0, k1, dtype=jnp.int32) * stride
+                carry, h = jax.lax.scan(scan_body, carry, starts)
+                hists.append(h)
+                k0 = k1
+            # final chunk: flush commits n_main + rc frames
+            cap_f = cap_of(n_chunks * n_main + rc)
+            carry, h = chunk_step(
+                carry, jnp.asarray((n_chunks - 1) * stride, jnp.int32),
+                enc.step_fn_cap(cap_f, flush=True), cap_f, n_main + rc)
+            estate, jk, jv, lm, prefixes, lens = carry
+            hists.append(h[None])
+            lens_hist = jnp.concatenate(hists, 0)
+            return prefixes, lens, lens_hist
+
+        # all decode state (encoder KV caches, jointer K/V, LM caches,
+        # prefixes) lives inside the jit as scan-carry temporaries: XLA
+        # updates them in place, nothing is shipped from the host, and
+        # the old donated-argument dance disappears.  One executable per
+        # (stream count, chunk count) pair.
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        key = (N, n_chunks)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = self._fused_cache[key] = jax.jit(fused)
+
+        prefixes, lens, lens_hist = fn(self.params, audio)
+        return self._texts_and_delays(prefixes, lens_hist, n_chunks, stride,
+                                      W, N)
+
+
+class OneShotCorpusDecoder(CachedFusedGreedyDecoder):
+    """Corpus-eval fast path: one-shot blockwise encode + fused decision scan.
+
+    In the corpus-evaluation setting (the reference's SimulEval flow,
+    simuleval/cli.py — every utterance is on disk before decoding starts)
+    the streaming policy's emissions depend on the encoder only through its
+    PER-FRAME outputs, and the blockwise attention mask makes those outputs
+    prefix-exact at block granularity: the incremental encoder commits,
+    chunk by chunk, exactly the frames one full-utterance blockwise encode
+    produces (pinned by tests/test_incremental.py).  So this decoder runs
+    the heavy encoder ONCE at full utterance length — large MXU-shaped
+    matmuls, optional flash-attention mask — projects the jointer K/V for
+    every frame in one shot, and replays the chunk-by-chunk greedy decision
+    loop against a static visibility schedule.  Texts and delays are
+    IDENTICAL to ``CachedFusedGreedyDecoder`` (tests/test_oneshot_decode.py)
+    at a fraction of the device time; the incremental decoders remain the
+    serving path for audio that genuinely arrives in real time.
+    """
+
+    #: streams encoded per sub-batch inside the fused call (lax.map): the
+    #: one-shot conv front-end's first layer materializes [B, S/5, 512]
+    #: activations — sub-batching keeps that peak bounded so the stream
+    #: batch N can grow far past what a monolithic encode would allow.
+    encode_batch = 32
+
+    def decode_corpus(self, wavs):
+        from wav2vec_s_tpu.stream import caat_step
+
+        if isinstance(wavs, tuple) and len(wavs) == 3:
+            N, max_samples, audio = wavs          # pre-staged handle
+        else:
+            N, max_samples, audio = self.stage(wavs)
+        enc = self._enc_cache[N]
+        hop, W, rf = enc.hop, enc.window, enc.rf
+        int16 = self.transfer_dtype == "int16"
+        total_frames = (max_samples - rf) // hop + 1
+        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
+        n_main = enc.n_main
+        stride = n_main * hop
+        # frames the policy ever sees (flush commits the final look-ahead)
+        t_frames = n_chunks * n_main + self.rc
+        n_samples = (t_frames - 1) * hop + rf
+        n_slots = -(-(n_chunks * self.max_emit + 1) // 8) * 8
+        t_cap = self.t_cap
+        assert t_cap >= t_frames, (t_cap, t_frames)
+
+        model, vocab = self.model, self.vocab
+        caat = model.cfg
+        mc, rc = self.mc, self.rc
+        max_len = self.max_len
+        greedy = self._make_greedy()
+
+        eb = min(self.encode_batch, N)
+        while N % eb:
+            eb -= 1
+
+        def fused(params, audio_dev):
+            au = jax.lax.dynamic_slice(audio_dev, (0, 0), (N, n_samples))
+            if int16:
+                au = au.astype(jnp.float32) / 32768.0
+
+            def enc_one(a):
+                e, _ = model.apply(
+                    {"params": params}, a, None, mc, rc, False,
+                    method=type(model).encode)
+                return e
+
+            encoded = jax.lax.map(
+                enc_one, au.reshape(N // eb, eb, n_samples))
+            encoded = encoded.reshape(N, *encoded.shape[2:])
+            enc_tm = jnp.swapaxes(encoded, 0, 1)        # [t_frames, N, D]
+            enc_tm = jnp.pad(
+                enc_tm, ((0, t_cap - enc_tm.shape[0]), (0, 0), (0, 0)))
+            jk, jv = caat_step.jointer_kv(params, caat, enc_tm)
+
+            prefixes = jnp.full((N, max_len + 1), vocab.pad(), jnp.int32)
+            prefixes = prefixes.at[:, 0].set(vocab.bos())
+            lens = jnp.ones((N,), jnp.int32)
+            lm = caat_step.lm_slot_init(params, caat, N, n_slots)
+
+            # visibility schedule: chunk k reveals (k+1)*n_main frames; the
+            # final chunk also reveals the flushed look-ahead
+            vis = [(k + 1) * n_main + (rc if k == n_chunks - 1 else 0)
+                   for k in range(n_chunks)]
+
+            # segment chunks by a STATICALLY-sliced jointer-cache capacity:
+            # early chunks see few frames, so reading the full [t_cap] K/V
+            # per greedy step wastes ~2x HBM on masked rows (profiled as
+            # the loop's top dots).  One scan per capacity bucket.
+            seg = 128
+            hists = []
+
+            def cap_of(v):
+                return min(-(-v // seg) * seg, t_cap)
+
+            k0 = 0
+            while k0 < n_chunks:
+                cap = cap_of(vis[k0])
+                k1 = k0
+                while k1 < n_chunks and cap_of(vis[k1]) == cap:
+                    k1 += 1
+                jk_c = tuple(k[:cap] for k in jk)
+                jv_c = tuple(v[:cap] for v in jv)
+
+                def scan_body(carry, visible, jk_c=jk_c, jv_c=jv_c):
+                    lm, prefixes, lens = carry
+                    prefixes, lens, lm = greedy(
+                        params, prefixes, lens, lm, jk_c, jv_c,
+                        visible * jnp.ones((N,), jnp.int32))
+                    return (lm, prefixes, lens), lens
+
+                (lm, prefixes, lens), h = jax.lax.scan(
+                    scan_body, (lm, prefixes, lens),
+                    jnp.asarray(vis[k0:k1], jnp.int32))
+                hists.append(h)
+                k0 = k1
+            lens_hist = jnp.concatenate(hists, axis=0)
+            return prefixes, lens, lens_hist
+
+        if not hasattr(self, "_fused_cache"):
+            self._fused_cache = {}
+        key = (N, n_chunks)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = self._fused_cache[key] = jax.jit(fused)
+
+        prefixes, lens, lens_hist = fn(self.params, audio)
+        return self._texts_and_delays(prefixes, lens_hist, n_chunks, stride,
+                                      W, N)

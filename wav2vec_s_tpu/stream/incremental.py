@@ -112,9 +112,21 @@ class IncrementalBlockwiseEncoder:
         self.flush_fn = self._make_step(flush=True)
         self._step = jax.jit(self.step_fn)
         self._flush = jax.jit(self.flush_fn)
+        self._cap_steps = {}
+
+    def step_fn_cap(self, kv_cap: int, flush: bool = False):
+        """Step variant whose cache attention reads only the first
+        ``kv_cap`` cache rows (static slice).  Valid while t_main <= kv_cap;
+        the fused corpus scans segment their chunk loops by these caps so
+        early chunks stop paying full-capacity HBM reads."""
+        key = (kv_cap, flush)
+        fn = self._cap_steps.get(key)
+        if fn is None:
+            fn = self._cap_steps[key] = self._make_step(flush, kv_cap)
+        return fn
 
     # -- the step ------------------------------------------------------
-    def _make_step(self, flush: bool):
+    def _make_step(self, flush: bool, kv_cap: int | None = None):
         c = self.cfg
         mc, rc, B_s = self.mc, self.rc, self.blocks
         n_main = self.n_main
@@ -138,6 +150,7 @@ class IncrementalBlockwiseEncoder:
         intra_bias = np.where(allowed, 0.0, -1e4).astype(np.float32)
         row_pos = np.concatenate([np.arange(n_main), copy_src])
         n_keep = n_main + rc if flush else n_main
+        kv_cap_ = self.t_cap if kv_cap is None else kv_cap
 
         def step(params, state: IncrementalEncoderState, window):
             """window: [N, W] raw samples covering frames
@@ -168,8 +181,8 @@ class IncrementalBlockwiseEncoder:
             # key visibility: cached frames < t0, plus the intra-chunk mask
             # (kept as two additive parts — the attention below never
             # concatenates the cache and intra logits)
-            cache_vis = (jnp.arange(self.t_cap)[None, :]
-                         < t0)                              # [1, T_cap]
+            cache_vis = (jnp.arange(kv_cap_)[None, :]
+                         < t0)                              # [1, kv_cap]
             bias_c4 = jnp.where(cache_vis, 0.0,
                                 MASK_VALUE)[None, None]     # [1,1,1,T_cap]
             bias_i4 = jnp.asarray(intra_bias)[None, None]   # [1,1,R,R]
@@ -204,13 +217,13 @@ class IncrementalBlockwiseEncoder:
                     from wav2vec_s_tpu.ops.chunk_attention import (
                         chunk_cache_attention)
                     o = chunk_cache_attention(
-                        q, state.k_cache[i].astype(x.dtype),
-                        state.v_cache[i].astype(x.dtype), k_new, v_new,
-                        jnp.asarray(intra_bias), t0, H)
+                        q, state.k_cache[i][:kv_cap_].astype(x.dtype),
+                        state.v_cache[i][:kv_cap_].astype(x.dtype), k_new,
+                        v_new, jnp.asarray(intra_bias), t0, H)
                 else:
                     qh = split(q)                        # [B, H, R, Dh]
-                    kc = split_tm(state.k_cache[i].astype(x.dtype))
-                    vc = split_tm(state.v_cache[i].astype(x.dtype))
+                    kc = split_tm(state.k_cache[i][:kv_cap_].astype(x.dtype))
+                    vc = split_tm(state.v_cache[i][:kv_cap_].astype(x.dtype))
                     # scores against the cache (time-major operand read in
                     # place) and against the current chunk rows; TWO-PART
                     # online softmax — the concatenated [.., T_cap+R] f32
