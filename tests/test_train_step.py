@@ -206,3 +206,32 @@ def test_context_sampling_matches_reference_distribution():
     # sanity: the distribution is NOT uniform over buckets
     freqs = sorted(got[b] / n for b in buckets)
     assert freqs[-1] > 2 * freqs[0]
+
+
+def test_remat_policies_match_plain_update():
+    """remat/offload policies change memory, never math: one update under
+    'dots' and 'offload_dots' must equal the plain step bit-for-bit-ish."""
+    import pytest
+
+    model, state0, batch, opt = _make_state_and_batch(B=4)
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+    rng = jax.random.PRNGKey(3)
+
+    def run(policy):
+        step = jax.jit(make_train_step(loss_fn, opt, remat_policy=policy))
+        st, logs = step(state0, batch, rng)
+        return float(logs["loss_total"]), st
+
+    base_loss, base_state = run("none")
+    for policy in ("dots", "offload_dots"):
+        try:
+            loss, st = run(policy)
+        except Exception as e:              # pragma: no cover
+            if policy == "offload_dots":
+                pytest.skip(f"host offload unsupported on this backend: {e}")
+            raise
+        np.testing.assert_allclose(loss, base_loss, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                        jax.tree_util.tree_leaves(base_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5)

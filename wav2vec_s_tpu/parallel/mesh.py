@@ -29,19 +29,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshAxes:
     data: str = "data"
     model: str = "model"
+    pipe: str = "pipe"
 
 
 AXES = MeshAxes()
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              n_pipe: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model) mesh; defaults to all devices on the data axis."""
+    """Build a (data, model[, pipe]) mesh; defaults to all devices on the
+    data axis.  The ``pipe`` axis only appears when n_pipe > 1 (existing
+    2-axis sharding rules are unaffected otherwise)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (
-        f"mesh {n_data}x{n_model} != {len(devices)} devices")
+        n_data = len(devices) // (n_model * n_pipe)
+    assert n_data * n_model * n_pipe == len(devices), (
+        f"mesh {n_data}x{n_model}x{n_pipe} != {len(devices)} devices")
+    if n_pipe > 1:
+        arr = np.asarray(devices).reshape(n_data, n_model, n_pipe)
+        return Mesh(arr, (AXES.data, AXES.model, AXES.pipe))
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (AXES.data, AXES.model))
 

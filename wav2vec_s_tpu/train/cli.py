@@ -249,7 +249,8 @@ def main(argv=None):
                 _pin_shardings(
                     make_train_step(make_loss(mc, rc, ds), optimizer,
                                     accum_steps=run.update_freq,
-                                    grad_mask=grad_mask)),
+                                    grad_mask=grad_mask,
+                                    remat_policy=run.remat)),
                 donate_argnums=0)
         return steps[(mc, rc, ds)]
 

@@ -64,6 +64,10 @@ class RunConfig:
     # distributed/fully_sharded_data_parallel.py)
     zero: bool = False                 # ZeRO-1: shard optimizer state
     fsdp: bool = False                 # shard parameters over the data axis
+    # rematerialization of the loss forward: none | dots | nothing |
+    # offload_dots (offload saveables to pinned host memory); see
+    # train/step.py::REMAT_POLICIES
+    remat: str = "none"
     # NaN localization (fairseq nan_detector.py, trainer.py:801-811)
     debug_nan: bool = False
     # background collation depth (fairseq DataLoader num_workers analogue,

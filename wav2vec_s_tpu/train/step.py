@@ -40,9 +40,24 @@ def tree_add(a, b):
     return jax.tree_util.tree_map(jnp.add, a, b)
 
 
+#: rematerialization / offload policies for the whole loss forward.
+#: "dots": save only matmul outputs with no batch dims (weights-shaped) —
+#: the classic remat trade, activations recomputed in backward.
+#: "offload_dots": additionally park those saveables in pinned host memory
+#: (HBM -> host offload; the fairseq analogue is fairscale FSDP's
+#: cpu_offload, distributed/fully_sharded_data_parallel.py).
+REMAT_POLICIES = {
+    "dots": lambda: jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    "nothing": lambda: jax.checkpoint_policies.nothing_saveable,
+    "offload_dots": lambda: jax.checkpoint_policies
+        .offload_dot_with_no_batch_dims("device", "pinned_host"),
+}
+
+
 def make_train_step(loss_fn: LossFn, optimizer: optax.GradientTransformation,
                     accum_steps: int = 1, skip_nonfinite: bool = True,
-                    grad_mask: Optional[Callable] = None):
+                    grad_mask: Optional[Callable] = None,
+                    remat_policy: str = "none"):
     """Build the jitted update.
 
     ``loss_fn(params, microbatch, rng, step)`` must return a *summed* loss,
@@ -54,6 +69,10 @@ def make_train_step(loss_fn: LossFn, optimizer: optax.GradientTransformation,
     ``grad_mask(params_tree_like, step)`` optionally zeroes gradients (freeze
     schedules: ``freeze_finetune_updates`` / ``freeze_w2v2_enc``).
     """
+
+    if remat_policy != "none":
+        loss_fn = jax.checkpoint(loss_fn,
+                                 policy=REMAT_POLICIES[remat_policy]())
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
