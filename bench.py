@@ -183,18 +183,22 @@ def oneshot_bench(decision_step: int, n_streams: int = 256,
 
 
 def beam_bench(n_streams: int = 32, seconds: float = 10.0,
-               beam: int = 5, max_steps: int = 8, max_len: int = 64):
+               beam: int = 5, max_steps: int = 8, max_len: int = 64,
+               oneshot: bool = False):
     """Quality path: batched streaming BEAM decode at intra-beam 5
     (the published eval operating point, eval_wav2vec_s_caat_st.sh).
 
-    ``max_len`` mirrors the reference agent's length cap (max_len_a *
-    frames ~ 48 tokens for 10 s audio): random weights emit greedily to
-    the cap, so an uncapped run measures an unrepresentative 250-token
-    LM recompute width."""
+    ``oneshot`` switches to the corpus-eval fast path (one-shot encode +
+    interleaved halves, emission-identical).  ``max_len`` mirrors the
+    reference agent's length cap (max_len_a * frames ~ 48 tokens for 10 s
+    audio): random weights emit greedily to the cap, so an uncapped run
+    measures an unrepresentative 250-token LM recompute width."""
     from wav2vec_s_tpu.data.dictionary import Dictionary
-    from wav2vec_s_tpu.stream.beam_batched import BatchedBeamStreamingDecoder
+    from wav2vec_s_tpu.stream.beam_batched import (
+        BatchedBeamStreamingDecoder, OneShotBeamDecoder)
 
-    model, params, w2v, caat = _build_caat()
+    model, params, w2v, caat = _build_caat(
+        attention_impl="flash" if oneshot else "dense")
     vocab = Dictionary()
     for i in range(caat.vocab_size - vocab.nspecial):
         vocab.add_symbol(f"w{i}")
@@ -202,7 +206,8 @@ def beam_bench(n_streams: int = 32, seconds: float = 10.0,
     S = int(seconds * 16000)
     frames = (S - 400) // 320 + 1
     t_cap = -(-(frames + w2v.right_context) // 128) * 128
-    dec = BatchedBeamStreamingDecoder(
+    klass = OneShotBeamDecoder if oneshot else BatchedBeamStreamingDecoder
+    dec = klass(
         model, params, vocab, w2v, beam_size=beam, inter_beam=1,
         max_steps=max_steps, max_len=max_len, eager=True, t_cap=t_cap,
         blocks_per_step=2)
@@ -274,10 +279,13 @@ def train_bench(attention_impl: str = "dense", B: int = 8,
 
     state, logs = step(state, batch, jax.random.PRNGKey(1))
     float(logs["loss_total"])                 # compile + warmup sync
+    # steady-state trainer pattern (train/cli.py): steps are dispatched
+    # back-to-back, metrics read back only at log intervals — per-step
+    # host syncs left the chip ~18% idle (profiled)
     t0 = time.perf_counter()
     for i in range(iters):
         state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
-        loss = float(logs["loss_total"])      # host sync per step
+    loss = float(logs["loss_total"])          # one sync per log window
     dt = time.perf_counter() - t0
     assert loss == loss, "NaN loss in train bench"
     ups = iters / dt
@@ -328,6 +336,7 @@ def main():
     oneshot_ds2 = oneshot_bench(decision_step=2)
     enc = encoder_bench()
     beam5 = beam_bench()
+    oneshot_beam5 = beam_bench(n_streams=64, oneshot=True)
     train_dense = train_bench("dense")
     train_flash = train_bench("flash")
     lat_xla = lattice_bench("xla")
@@ -342,6 +351,7 @@ def main():
             "oneshot_corpus_throughput_ds2": round(oneshot_ds2, 2),
             "blockwise_encode_throughput": round(enc, 2),
             "streaming_beam5_throughput": round(beam5, 2),
+            "oneshot_beam5_throughput": round(oneshot_beam5, 2),
             "train_step_dense_attn": train_dense,
             "train_step_flash_attn": train_flash,
             "transducer_loss_ms_xla": round(lat_xla, 2),

@@ -46,3 +46,23 @@ def test_oneshot_int16_staging_round_trip():
     assert len(texts) == 2
     for dd in delays:
         assert dd == sorted(dd)
+
+
+def test_unrolled_emit_loop_matches_while():
+    """emit_loop='unroll' must produce identical emissions and delays."""
+    dec, vocab = _setup(max_emit=4)
+    rng = np.random.default_rng(2)
+    wavs = [rng.standard_normal(2400).astype(np.float32) * 0.1,
+            rng.standard_normal(2400).astype(np.float32) * 0.1]
+    kw = dict(max_len=12, max_emit_per_chunk=4, t_cap=128)
+    a = OneShotCorpusDecoder(dec.model, dec.params, vocab, W2V_TINY, **kw)
+    b = OneShotCorpusDecoder(dec.model, dec.params, vocab, W2V_TINY, **kw)
+    b.emit_loop = "unroll"
+    c = CachedFusedGreedyDecoder(dec.model, dec.params, vocab, W2V_TINY,
+                                 **kw)
+    c.emit_loop = "unroll"
+    ta, da = a.decode_corpus(wavs)
+    tb, db = b.decode_corpus(wavs)
+    tc, dc = c.decode_corpus(wavs)
+    assert ta == tb == tc
+    assert da == db == dc

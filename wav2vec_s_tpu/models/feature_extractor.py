@@ -41,6 +41,44 @@ def conv_receptive_stride(layers=DEFAULT_CONV_LAYERS) -> tuple[int, int]:
     return rf, hop
 
 
+class _Im2ColConv(nn.Module):
+    """Conv1d lowered as unfold + matmul — for shallow contractions.
+
+    XLA's conv lowering on TPU is catastrophically MXU-starved when
+    ``in_channels * kernel`` is tiny (the wav2vec front-end's first block:
+    in=1, k=10 — profiled at ~45% of the whole one-shot encode).  Unfolding
+    the waveform into patches and hitting one [B*T, k] x [k, C] matmul is
+    the same math an order of magnitude faster.  Param names/shapes match
+    ``nn.Conv`` exactly ("kernel" [k, in, out], optional "bias"), so
+    checkpoints are interchangeable.
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # [B, T, C]
+        C = x.shape[-1]
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (self.kernel, C, self.features), jnp.float32)
+        p = jax.lax.conv_general_dilated_patches(
+            x, (self.kernel,), (self.stride,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"))     # [B, T', C*k]
+        # patches order their feature dim input-channel-major: [C, k]
+        y = jnp.einsum(
+            "btp,pf->btf", p.astype(self.dtype),
+            w.transpose(1, 0, 2).reshape(C * self.kernel, self.features)
+            .astype(self.dtype))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class ConvFeatureExtractor(nn.Module):
     conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
     mode: str = "default"          # "default" (group-norm block 0) | "layer_norm"
@@ -54,11 +92,17 @@ class ConvFeatureExtractor(nn.Module):
         assert self.mode in ("default", "layer_norm")
         x = source[:, :, None].astype(self.dtype)  # [B, T, 1]
         for i, (dim, k, stride) in enumerate(self.conv_layers):
-            x = nn.Conv(
-                features=dim, kernel_size=(k,), strides=(stride,),
-                padding="VALID", use_bias=self.conv_bias,
-                kernel_init=nn.initializers.he_normal(),
-                dtype=self.dtype, name=f"conv_{i}")(x)
+            if x.shape[-1] * k <= 64:
+                x = _Im2ColConv(
+                    features=dim, kernel=k, stride=stride,
+                    use_bias=self.conv_bias, dtype=self.dtype,
+                    name=f"conv_{i}")(x)
+            else:
+                x = nn.Conv(
+                    features=dim, kernel_size=(k,), strides=(stride,),
+                    padding="VALID", use_bias=self.conv_bias,
+                    kernel_init=nn.initializers.he_normal(),
+                    dtype=self.dtype, name=f"conv_{i}")(x)
             if self.mode == "layer_norm" and i < self.layer_norm_num:
                 x = LayerNorm(dim, name=f"ln_{i}")(x)
             elif self.mode == "default" and i == 0:

@@ -449,6 +449,17 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 audio[i, :len(w)] = w
         return N, max_samples, jax.device_put(audio)
 
+    #: emission-loop lowering: "while" runs a lax.while_loop with early
+    #: exit once every stream has emitted blank; "unroll" lays the
+    #: max_emit iterations out straight-line with masked updates — same
+    #: emissions (blocked streams never write; equivalence test-pinned).
+    #: MEASURED on v5e (ds2, random weights, worst case for early exit):
+    #: unroll is ~25-45% SLOWER (oneshot 664 vs ~900, cached 477 vs 879
+    #: audio-s/s) — the 4x-duplicated loop body bloats the scan executable
+    #: and the while op's profiled self-time is scheduling, not removable
+    #: overhead.  Kept for future revisit; default "while".
+    emit_loop = "while"
+
     def _make_greedy(self):
         """Greedy emission loop over cached jointer K/V + slot LM state.
 
@@ -458,14 +469,10 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
 
         vocab, caat = self.vocab, self.model.cfg
         max_emit, max_len = self.max_emit, self.max_len
+        unroll = self.emit_loop == "unroll"
 
         def greedy(params, prefixes, lens, lm, jk, jv, visible):
             blank, pad = vocab.bos(), vocab.pad()
-
-            def cond(carry):
-                prefixes, lens, lm, blocked, i = carry
-                # early exit once every stream has emitted blank
-                return (i < max_emit) & ~jnp.all(blocked)
 
             def body(carry):
                 prefixes, lens, lm, blocked, i = carry
@@ -484,9 +491,17 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
                 return prefixes, lens, lm, blocked | ~emit, i + 1
 
             blocked = jnp.zeros(prefixes.shape[0], bool)
-            prefixes, lens, lm, _, _ = jax.lax.while_loop(
-                cond, body,
-                (prefixes, lens, lm, blocked, jnp.zeros((), jnp.int32)))
+            carry = (prefixes, lens, lm, blocked, jnp.zeros((), jnp.int32))
+            if unroll:
+                for _ in range(max_emit):
+                    carry = body(carry)
+            else:
+                def cond(carry):
+                    # early exit once every stream has emitted blank
+                    return (carry[-1] < max_emit) & ~jnp.all(carry[-2])
+
+                carry = jax.lax.while_loop(cond, body, carry)
+            prefixes, lens, lm, _, _ = carry
             return prefixes, lens, lm
 
         return greedy
