@@ -66,3 +66,30 @@ def test_unrolled_emit_loop_matches_while():
     tc, dc = c.decode_corpus(wavs)
     assert ta == tb == tc
     assert da == db == dc
+
+
+def test_oneshot_shards_streams_over_data_mesh():
+    """Multi-chip batched serving: staging the corpus with its stream axis
+    sharded over the `data` mesh axis must compile (SPMD partitions the
+    fused decision scan) and produce the single-device texts/delays."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wav2vec_s_tpu.parallel.mesh import AXES, make_mesh
+
+    dec, vocab = _setup(max_emit=4)
+    rng = np.random.default_rng(5)
+    wavs = [rng.standard_normal(2400).astype(np.float32) * 0.1
+            for _ in range(4)]
+    kw = dict(max_len=12, max_emit_per_chunk=4, t_cap=128)
+    a = OneShotCorpusDecoder(dec.model, dec.params, vocab, W2V_TINY, **kw)
+    ta, da = a.decode_corpus(wavs)
+
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    b = OneShotCorpusDecoder(dec.model, dec.params, vocab, W2V_TINY, **kw)
+    N, max_samples, audio = b.stage(wavs)
+    sharded = jax.device_put(audio, NamedSharding(mesh, P(AXES.data)))
+    tb, db = b.decode_corpus((N, max_samples, sharded))
+    assert ta == tb
+    assert da == db
