@@ -184,18 +184,22 @@ def oneshot_bench(decision_step: int, n_streams: int = 256,
 
 def beam_bench(n_streams: int = 32, seconds: float = 10.0,
                beam: int = 5, max_steps: int = 8, max_len: int = 64,
-               oneshot: bool = False):
+               oneshot: bool = False, fused: bool = True):
     """Quality path: batched streaming BEAM decode at intra-beam 5
     (the published eval operating point, eval_wav2vec_s_caat_st.sh).
 
-    ``oneshot`` switches to the corpus-eval fast path (one-shot encode +
-    interleaved halves, emission-identical).  ``max_len`` mirrors the
-    reference agent's length cap (max_len_a * frames ~ 48 tokens for 10 s
-    audio): random weights emit greedily to the cap, so an uncapped run
-    measures an unrepresentative 250-token LM recompute width."""
+    ``oneshot`` switches to the corpus-eval fast path (one-shot encode,
+    emission-identical); ``fused`` (default) uses the zero-host-sync
+    decoders (device-side argmax re-seed + host emission replay —
+    emission-identical at inter_beam=1, tests/test_beam_batched.py).
+    ``max_len`` mirrors the reference agent's length cap (max_len_a *
+    frames ~ 48 tokens for 10 s audio): random weights emit greedily to
+    the cap, so an uncapped run measures an unrepresentative 250-token LM
+    recompute width."""
     from wav2vec_s_tpu.data.dictionary import Dictionary
     from wav2vec_s_tpu.stream.beam_batched import (
-        BatchedBeamStreamingDecoder, OneShotBeamDecoder)
+        BatchedBeamStreamingDecoder, FusedBeamStreamingDecoder,
+        FusedOneShotBeamDecoder, OneShotBeamDecoder)
 
     model, params, w2v, caat = _build_caat(
         attention_impl="flash" if oneshot else "dense")
@@ -206,7 +210,11 @@ def beam_bench(n_streams: int = 32, seconds: float = 10.0,
     S = int(seconds * 16000)
     frames = (S - 400) // 320 + 1
     t_cap = -(-(frames + w2v.right_context) // 128) * 128
-    klass = OneShotBeamDecoder if oneshot else BatchedBeamStreamingDecoder
+    if fused:
+        klass = (FusedOneShotBeamDecoder if oneshot
+                 else FusedBeamStreamingDecoder)
+    else:
+        klass = OneShotBeamDecoder if oneshot else BatchedBeamStreamingDecoder
     dec = klass(
         model, params, vocab, w2v, beam_size=beam, inter_beam=1,
         max_steps=max_steps, max_len=max_len, eager=True, t_cap=t_cap,

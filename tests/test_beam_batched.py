@@ -153,3 +153,30 @@ def test_oneshot_beam_matches_incremental_beam():
     tb, db = b.decode_corpus(wavs)
     assert ta == tb
     assert da == db
+
+
+def test_fused_beam_matches_oneshot_beam():
+    """The fully-fused beam path (device-side argmax re-seed + host replay
+    of the LCP emission, zero per-chunk syncs) must emit exactly what the
+    per-chunk host-merged one-shot beam decoder emits — texts AND delays —
+    at the inter_beam=1 / merge_add=False operating point, including
+    mixed-length corpora (divergent is_end / run schedules) and the
+    word-boundary-gated (non-eager) emission mode."""
+    from wav2vec_s_tpu.stream.beam_batched import (
+        FusedBeamStreamingDecoder, FusedOneShotBeamDecoder,
+        OneShotBeamDecoder)
+
+    model, params, vocab = _setup()
+    wavs = [_chunked_audio(4, 0), _chunked_audio(3, 7),
+            _chunked_audio(4, 5), _chunked_audio(2, 9)]
+    for eager in (True, False):
+        kw = dict(beam_size=3, inter_beam=1, gen_beam=2.0, max_steps=5,
+                  max_len=64, eager=eager, t_cap=64)
+        a = OneShotBeamDecoder(model, params, vocab, W2V_TINY, **kw)
+        b = FusedOneShotBeamDecoder(model, params, vocab, W2V_TINY, **kw)
+        c = FusedBeamStreamingDecoder(model, params, vocab, W2V_TINY, **kw)
+        ta, da = a.decode_corpus(wavs)
+        tb, db = b.decode_corpus(wavs)
+        tc, dc = c.decode_corpus(wavs)
+        assert ta == tb == tc, (eager, ta, tb, tc)
+        assert da == db == dc

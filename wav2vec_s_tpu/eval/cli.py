@@ -129,7 +129,8 @@ def cmd_batch_decode(args):
         CachedFusedGreedyDecoder, FusedIncrementalGreedyDecoder,
         OneShotCorpusDecoder)
     from wav2vec_s_tpu.stream.beam_batched import (
-        BatchedBeamStreamingDecoder, OneShotBeamDecoder)
+        BatchedBeamStreamingDecoder, FusedBeamStreamingDecoder,
+        FusedOneShotBeamDecoder, OneShotBeamDecoder)
     from wav2vec_s_tpu.stream.latency import average_lagging
     from wav2vec_s_tpu.train.config import load_config
 
@@ -161,6 +162,13 @@ def cmd_batch_decode(args):
         "beam": lambda: BatchedBeamStreamingDecoder(
             model, params, tgt_dict, model_cfg, **beam_kw),
         "oneshot-beam": lambda: OneShotBeamDecoder(
+            model, params, tgt_dict, model_cfg, **beam_kw),
+        # zero host syncs; require inter_beam=1 (see the class docstrings):
+        # fused-beam = one-shot encode (corpus eval), stream-beam =
+        # incremental encode (serving semantics)
+        "fused-beam": lambda: FusedOneShotBeamDecoder(
+            model, params, tgt_dict, model_cfg, **beam_kw),
+        "stream-beam": lambda: FusedBeamStreamingDecoder(
             model, params, tgt_dict, model_cfg, **beam_kw),
     }[args.decoder]()
 
@@ -253,7 +261,8 @@ def main(argv=None):
         sp.add_argument("--platform", default=None)
         sp.add_argument("--decoder", default="cached",
                         choices=["fused", "cached", "oneshot", "beam",
-                                 "oneshot-beam"])
+                                 "oneshot-beam", "fused-beam",
+                                 "stream-beam"])
         sp.add_argument("--batch-size", type=int, default=128)
         sp.add_argument("overrides", nargs="*", default=[])
 

@@ -129,7 +129,7 @@ class BatchedBeamStreamingDecoder:
             return (score + ln * lp) * ln ** ls
 
         def beam_block(params, prefixes, nlens, scores, jk, jv, visible,
-                       is_end, active):
+                       is_end, active, cap):
             """One ``search_at`` (transducer_searcher.py:313-459) for all
             streams at once.
 
@@ -140,8 +140,14 @@ class BatchedBeamStreamingDecoder:
             block (``lm_prefill``); each beam iteration is then an O(1)
             cached step with a beam-reorder gather (``lm_reorder`` — the
             fairseq reorder_incremental_state pattern), not a full prefix
-            recompute.  Returns (pool_tokens [N, B, U_blk], unnormalized
-            pool scores)."""
+            recompute.  ``cap`` (static) slices the jointer K/V to the
+            revealed-frame capacity bucket: early chunks would otherwise
+            read the full [t_cap] cache per beam iteration — the same
+            masked-row HBM waste the greedy decoders segment away
+            (OneShotCorpusDecoder).  Returns (pool_tokens [N, B, U_blk],
+            unnormalized pool scores)."""
+            jk = tuple(k[:cap] for k in jk)
+            jv = tuple(v[:cap] for v in jv)
             N, _, U_blk = prefixes.shape
             lm0 = caat_step.lm_prefill(params, caat,
                                        prefixes.reshape(N * B, U_blk),
@@ -231,7 +237,12 @@ class BatchedBeamStreamingDecoder:
             plens = (pool_t != pad_id).sum(-1).astype(jnp.float32)
             return pool_t, unnorm(pool_s, plens, is_end[:, None])
 
-        self._beam_block = jax.jit(beam_block)
+        self._beam_block = jax.jit(beam_block, static_argnames=("cap",))
+        self._beam_block_core = beam_block      # unjitted (fused scans)
+        self._norm_dev = norm
+        #: jointer-cache capacity segment (one beam_block executable per
+        #: (prefix bucket, capacity bucket) pair)
+        self.cap_seg = 128
 
         def kv_append(params, jk, jv, out_cache, t0, n_new):
             x_new = jax.lax.dynamic_slice_in_dim(out_cache, t0, n_new, 0)
@@ -239,6 +250,95 @@ class BatchedBeamStreamingDecoder:
             return caat_step.jointer_kv_append(jk, jv, k_new, v_new, t0)
 
         self._kv_append = jax.jit(kv_append, static_argnames=("n_new",))
+
+    def _cap_of(self, t_main: int) -> int:
+        seg = self.cap_seg
+        return min(-(-int(t_main) // seg) * seg, self.t_cap)
+
+    # -- fused-path helpers (shared by the zero-sync decoders) ----------
+    def _chunk_schedule(self, frames_i, n_chunks, n_main, rc):
+        """Host-static per-chunk schedule: revealed frames, per-stream
+        visibility, end flags, and the run mask (a stream stops running
+        after the first chunk that ran with is_end) — everything the
+        per-chunk host loop derives from ``estate.t_main`` is a pure
+        function of the chunk index, so the fused decoders precompute it
+        and ship it as scan inputs."""
+        t_mains, vis_s, end_s, run_s = [], [], [], []
+        alive = np.ones(len(frames_i), bool)
+        for k in range(n_chunks):
+            t_main = (k + 1) * n_main + (rc if k == n_chunks - 1 else 0)
+            is_end = t_main >= frames_i
+            visible = np.where(is_end, np.minimum(t_main, frames_i),
+                               np.minimum(t_main,
+                                          np.maximum(frames_i - rc, 0)))
+            run = alive & (visible > 0)
+            alive = alive & ~(run & is_end)
+            t_mains.append(t_main)
+            vis_s.append(visible.astype(np.int32))
+            end_s.append(is_end)
+            run_s.append(run)
+        return t_mains, np.stack(vis_s), np.stack(end_s), np.stack(run_s)
+
+    def _width_of(self, k: int) -> int:
+        """Static prefix-width bound for chunk ``k``: each chunk adds at
+        most ``max_steps`` tokens, so this dominates the parent's
+        host-side ``nlens.max()``-based bucket (the in-loop buffer cap
+        never binds below U_cap either way — see the while body)."""
+        from wav2vec_s_tpu.data.batching import bucket_for
+        return min(self.U_cap, bucket_for(
+            min(1 + k * self.max_steps, self.max_len) +
+            self.max_steps + 1, self._token_buckets))
+
+    def _replay_emission(self, hist, run_s, end_s, n_chunks, stride, W,
+                         totals):
+        """Host replay of the per-chunk LCP word emission + delay
+        bookkeeping from recorded best rows — one pass, off the device's
+        critical path (the per-chunk host tail of the unfused decoders)."""
+        N = len(totals)
+        words_out = [[] for _ in range(N)]
+        delays = [[] for _ in range(N)]
+        out_pos = np.ones(N, np.int32)
+        for k in range(n_chunks):
+            consumed_ms = np.minimum(k * stride + W, totals) / 16.0
+            for i in range(N):
+                if not run_s[k, i]:
+                    continue
+                ws, out_pos[i] = lcp_emit(
+                    self.vocab, self.tokenizer, self._spm_style, self.eager,
+                    hist[k, i][None], int(out_pos[i]), bool(end_s[k, i]))
+                if ws:
+                    words_out[i].extend(ws)
+                    delays[i].extend([float(consumed_ms[i])] * len(ws))
+        texts = [" ".join(w) for w in words_out]
+        return texts, delays
+
+    def _reseed_best(self, pool_t, pool_s, is_end, run, prefixes, nlens,
+                     scores, width_pad):
+        """Device twin of ``_host_merge_chunk`` at inter_beam=1 /
+        merge_add=False: the pool row with the best length-normalized
+        score re-seeds beam 0, the rest go to -inf.  Returns the updated
+        (prefixes, nlens, scores) and the best row (padded to U_cap) for
+        the emission replay."""
+        pad_id = self.vocab.pad()
+        N, B = pool_s.shape
+        plens = (pool_t != pad_id).sum(-1)
+        normed = self._norm_dev(pool_s, plens.astype(jnp.float32),
+                                is_end[:, None])
+        normed = jnp.where(jnp.isfinite(pool_s), normed, NINF)
+        best = jnp.argmax(normed, axis=1)
+        bt = jnp.take_along_axis(pool_t, best[:, None, None], 1)[:, 0]
+        bs = jnp.take_along_axis(pool_s, best[:, None], 1)[:, 0]
+        bt_full = jnp.pad(bt, ((0, 0), (0, width_pad)),
+                          constant_values=pad_id)
+        np_ = jnp.full(prefixes.shape, pad_id, jnp.int32)
+        np_ = np_.at[:, 0, :].set(bt_full)
+        nn = jnp.ones((N, B), jnp.int32).at[:, 0].set(
+            (bt != pad_id).sum(-1).astype(jnp.int32))
+        ns = jnp.full((N, B), NINF).at[:, 0].set(bs)
+        prefixes = jnp.where(run[:, None, None], np_, prefixes)
+        nlens = jnp.where(run[:, None], nn, nlens)
+        scores = jnp.where(run[:, None], ns, scores)
+        return prefixes, nlens, scores, bt_full
 
     # -- corpus decode --------------------------------------------------
     def decode_corpus(self, wavs: List[np.ndarray],
@@ -313,7 +413,7 @@ class BatchedBeamStreamingDecoder:
                 self.params, jnp.asarray(prefixes[:, :, :u_blk]),
                 jnp.asarray(nlens), jnp.asarray(scores), jk, jv,
                 jnp.asarray(visible.astype(np.int32)), jnp.asarray(is_end),
-                jnp.asarray(run))
+                jnp.asarray(run), cap=self._cap_of(t_main))
             pool_t = np.asarray(pool_t)
             pool_s = np.asarray(pool_s, np.float64)
 
@@ -502,7 +602,8 @@ class OneShotBeamDecoder(BatchedBeamStreamingDecoder):
                     jnp.asarray(nlens[rows]), jnp.asarray(scores[rows]),
                     jk_h[h], jv_h[h],
                     jnp.asarray(visible[rows].astype(np.int32)),
-                    jnp.asarray(is_end[rows]), jnp.asarray(run_h))
+                    jnp.asarray(is_end[rows]), jnp.asarray(run_h),
+                    cap=self._cap_of(t_main))
                 flush_pending()      # overlaps with the dispatched block
                 pending = (rows, dev[0], dev[1], run_h, is_end[rows],
                            consumed_ms[rows])
@@ -511,4 +612,279 @@ class OneShotBeamDecoder(BatchedBeamStreamingDecoder):
         flush_pending()
 
         texts = [" ".join(w) for w in words_out]
+        return (texts, delays) if return_delays else texts
+
+
+class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
+    """Serving-semantics fused beam: zero per-chunk host syncs.
+
+    Same chunk-for-chunk semantics as ``BatchedBeamStreamingDecoder`` at
+    the inter_beam=1 / merge_add=False operating point (see
+    ``FusedOneShotBeamDecoder`` for why the host tail collapses there),
+    but the encoder runs INCREMENTALLY inside the scan — O(T) serving
+    cost per stream, audio windows sliced from a device-resident buffer —
+    instead of the one-shot full-utterance encode.  This is the quality
+    twin of ``CachedFusedGreedyDecoder``'s fused scan: encoder step +
+    jointer K/V append + beam block + argmax re-seed per chunk, one scan
+    per static (encoder-capacity, prefix-width) segment, per-chunk best
+    rows recorded for the host emission replay.
+    """
+
+    def decode_corpus(self, wavs: List[np.ndarray],
+                      return_delays: bool = True):
+        from wav2vec_s_tpu.stream.incremental import init_state
+
+        assert self.inter_beam == 1 and not self.merge_add, (
+            "fused beam path requires inter_beam=1, merge_add=False")
+        vocab, caat = self.vocab, self.caat
+        pad_id, bos_id = vocab.pad(), vocab.bos()
+        N, B, U_cap = len(wavs), self.B, self.U_cap
+        enc = self._enc_cache.get(N)
+        if enc is None:
+            enc = self._enc_cache[N] = self._enc_factory(N)
+        hop, W = enc.hop, enc.window
+        max_samples = max(len(w) for w in wavs)
+        audio = np.zeros((N, max_samples + W), np.float32)
+        for i, w in enumerate(wavs):
+            audio[i, :len(w)] = w
+        totals = np.asarray([len(w) for w in wavs])
+        frames_i = np.asarray([conv_output_length(int(n), self.conv_layers)
+                               for n in totals])
+        total_frames = (max_samples - enc.rf) // hop + 1
+        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
+        stride = enc.n_main * hop
+        rc, n_main, t_cap = self.rc, enc.n_main, self.t_cap
+
+        t_mains, vis_s, end_s, run_s = self._chunk_schedule(
+            frames_i, n_chunks, n_main, rc)
+        # non-final chunks grouped into (capacity, width) segments; the
+        # final chunk runs the flush encoder variant on its own
+        segs = []
+        k0 = 0
+        while k0 < n_chunks - 1:
+            key = (self._cap_of(t_mains[k0]), self._width_of(k0))
+            k1 = k0
+            while (k1 < n_chunks - 1 and
+                   (self._cap_of(t_mains[k1]), self._width_of(k1)) == key):
+                k1 += 1
+            segs.append((k0, k1) + key)
+            k0 = k1
+
+        core = self._beam_block_core
+
+        if not hasattr(self, "_fusedinc_cache"):
+            self._fusedinc_cache = {}
+        key = (N, n_chunks)
+        fn = self._fusedinc_cache.get(key)
+        if fn is None:
+            def fused(params, audio_dev, vis_d, end_d, run_d):
+                w2v = enc.cfg
+                estate = init_state(N, w2v.encoder_layers,
+                                    w2v.encoder_embed_dim, t_cap,
+                                    w2v.compute_dtype)
+                cdtype = estate.out_cache.dtype
+                jk = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim),
+                                     cdtype)
+                           for _ in range(caat.jointer_layers))
+                jv = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim),
+                                     cdtype)
+                           for _ in range(caat.jointer_layers))
+                prefixes = jnp.full((N, B, U_cap), pad_id, jnp.int32)
+                prefixes = prefixes.at[:, 0, 0].set(bos_id)
+                nlens = jnp.ones((N, B), jnp.int32)
+                scores = jnp.full((N, B), NINF).at[:, 0].set(0.0)
+
+                def chunk_step(carry, start, visible, is_end, run, step_fn,
+                               cap, w, n_new):
+                    estate, jk, jv, prefixes, nlens, scores = carry
+                    t0 = estate.t_main
+                    win = jax.lax.dynamic_slice(audio_dev, (0, start),
+                                                (N, W))
+                    estate = step_fn(params["encoder"], estate, win)
+                    x_new = jax.lax.dynamic_slice_in_dim(
+                        estate.out_cache, t0, n_new, axis=0)
+                    k_new, v_new = caat_step.jointer_kv(params, caat, x_new)
+                    jk, jv = caat_step.jointer_kv_append(jk, jv, k_new,
+                                                         v_new, t0)
+                    pool_t, pool_s = core(
+                        params, prefixes[:, :, :w], nlens, scores,
+                        tuple(k[:cap] for k in jk),
+                        tuple(v[:cap] for v in jv),
+                        visible, is_end, run, cap=None)
+                    prefixes, nlens, scores, bt_full = self._reseed_best(
+                        pool_t, pool_s, is_end, run, prefixes, nlens,
+                        scores, U_cap - w)
+                    return (estate, jk, jv, prefixes, nlens, scores), bt_full
+
+                carry = (estate, jk, jv, prefixes, nlens, scores)
+                hists = []
+                for (k0, k1, cap, w) in segs:
+                    step_c = enc.step_fn_cap(min(cap, t_cap))
+
+                    def body(carry, xs, step_c=step_c, cap=cap, w=w):
+                        start, visible, is_end, run = xs
+                        return chunk_step(carry, start, visible, is_end,
+                                          run, step_c, cap, w, n_main)
+
+                    xs = (jnp.arange(k0, k1, dtype=jnp.int32) * stride,
+                          vis_d[k0:k1], end_d[k0:k1], run_d[k0:k1])
+                    carry, h = jax.lax.scan(body, carry, xs)
+                    hists.append(h)
+                # final chunk: flush commits n_main + rc frames
+                kf = n_chunks - 1
+                cap_f = self._cap_of(t_mains[kf])
+                w_f = self._width_of(kf)
+                carry, h = chunk_step(
+                    carry, jnp.asarray(kf * stride, jnp.int32),
+                    vis_d[kf], end_d[kf], run_d[kf],
+                    enc.step_fn_cap(cap_f, flush=True), cap_f, w_f,
+                    n_main + rc)
+                hists.append(h[None])
+                return jnp.concatenate(hists, axis=0)
+
+            fn = self._fusedinc_cache[key] = jax.jit(fused)
+
+        hist = np.asarray(fn(
+            self.params, jnp.asarray(audio), jnp.asarray(vis_s),
+            jnp.asarray(end_s), jnp.asarray(run_s)))
+
+        texts, delays = self._replay_emission(hist, run_s, end_s, n_chunks,
+                                              stride, W, totals)
+        return (texts, delays) if return_delays else texts
+
+
+class FusedOneShotBeamDecoder(OneShotBeamDecoder):
+    """Fully-fused corpus-eval beam path: zero per-chunk host syncs.
+
+    At the published eval operating point — ``inter_beam=1`` (one
+    hypothesis survives each chunk, eval_wav2vec_s_caat_st.sh) with
+    max-reduce merging — the per-chunk host tail of the beam search
+    collapses: the surface merge cannot change the argmax (identical
+    TOKEN paths are already max-merged on device by
+    ``_merge_identical_batched``, and with max-reduce a cross-
+    tokenization surface merge only re-labels the winning row), and the
+    LCP word emission over a single kept row is pure bookkeeping.  So
+    the whole chunk loop runs inside jitted ``lax.scan``s — one per
+    static (jointer-capacity, prefix-width) segment, the greedy
+    decoders' pattern (``OneShotCorpusDecoder``) — carrying the beam
+    arrays on device and recording only the per-chunk best row; words
+    AND delay bookkeeping are replayed on the host once, after the
+    device finishes.  Texts/delays are pinned identical to
+    ``OneShotBeamDecoder`` by tests/test_beam_batched.py.
+
+    The device-side re-seed mirrors ``_host_merge_chunk`` at
+    inter_beam=1/merge_add=False exactly: pick the pool row with the
+    best length-normalized score, seed beam 0 with it, everything else
+    to -inf.  (A cross-tokenization surface merge CAN relabel which
+    token sequence represents the winning surface when two different
+    tokenizations of the same string co-exist in the pool; the device
+    path keeps the higher-scoring row instead of the earlier row —
+    the emitted surface string is the same either way.)
+    """
+
+    def decode_corpus(self, wavs: List[np.ndarray],
+                      return_delays: bool = True):
+        assert self.inter_beam == 1 and not self.merge_add, (
+            "fused beam path requires inter_beam=1, merge_add=False; use "
+            "OneShotBeamDecoder for other operating points")
+        model, vocab, caat = self.model, self.vocab, self.caat
+        pad_id, bos_id = vocab.pad(), vocab.bos()
+        N, B, U_cap = len(wavs), self.B, self.U_cap
+        enc = self._enc_cache.get(N)
+        if enc is None:
+            enc = self._enc_cache[N] = self._enc_factory(N)
+        hop, W, rf = enc.hop, enc.window, enc.rf
+        mc, rc = self.mc, self.rc
+        max_samples = max(len(w) for w in wavs)
+        audio = np.zeros((N, max_samples), np.float32)
+        for i, w in enumerate(wavs):
+            audio[i, :len(w)] = w
+        totals = np.asarray([len(w) for w in wavs])
+        frames_i = np.asarray([conv_output_length(int(n), self.conv_layers)
+                               for n in totals])
+        total_frames = (max_samples - rf) // hop + 1
+        n_chunks = max((total_frames - self.rc) // enc.n_main, 1)
+        stride = enc.n_main * hop
+        t_frames = n_chunks * enc.n_main + rc
+        n_samples = min((t_frames - 1) * hop + rf, max_samples)
+        assert self.t_cap >= t_frames, (self.t_cap, t_frames)
+        t_cap = self.t_cap
+
+        eb = min(self.encode_batch, N)
+        while N % eb:
+            eb -= 1
+
+        # host-static schedule + (jointer-capacity, prefix-width) segments
+        t_mains, vis_s, end_s, run_s = self._chunk_schedule(
+            frames_i, n_chunks, enc.n_main, rc)
+        segs = []       # (k0, k1, cap, width)
+        k0 = 0
+        while k0 < n_chunks:
+            key = (self._cap_of(t_mains[k0]), self._width_of(k0))
+            k1 = k0
+            while (k1 < n_chunks and
+                   (self._cap_of(t_mains[k1]), self._width_of(k1)) == key):
+                k1 += 1
+            segs.append((k0, k1) + key)
+            k0 = k1
+
+        core = self._beam_block_core
+
+        if not hasattr(self, "_fusedbeam_cache"):
+            self._fusedbeam_cache = {}
+        key = (N, n_chunks, n_samples)
+        fn = self._fusedbeam_cache.get(key)
+        if fn is None:
+            def fused(params, au, vis_d, end_d, run_d):
+                def enc_one(a):
+                    e, _ = model.apply(
+                        {"params": params}, a, None, mc, rc, False,
+                        method=type(model).encode)
+                    return e
+
+                encoded = jax.lax.map(
+                    enc_one, au.reshape(N // eb, eb, n_samples))
+                encoded = encoded.reshape(N, *encoded.shape[2:])
+                enc_tm = jnp.swapaxes(encoded, 0, 1)
+                enc_tm = jnp.pad(
+                    enc_tm,
+                    ((0, t_cap - enc_tm.shape[0]), (0, 0), (0, 0)))
+                jk, jv = caat_step.jointer_kv(params, caat, enc_tm)
+
+                prefixes = jnp.full((N, B, U_cap), pad_id, jnp.int32)
+                prefixes = prefixes.at[:, 0, 0].set(bos_id)
+                nlens = jnp.ones((N, B), jnp.int32)
+                scores = jnp.full((N, B), NINF).at[:, 0].set(0.0)
+
+                hists = []
+                for (k0, k1, cap, w) in segs:
+                    jk_c = tuple(k[:cap] for k in jk)
+                    jv_c = tuple(v[:cap] for v in jv)
+
+                    def body(carry, xs, jk_c=jk_c, jv_c=jv_c, w=w):
+                        prefixes, nlens, scores = carry
+                        visible, is_end, run = xs
+                        pool_t, pool_s = core(
+                            params, prefixes[:, :, :w], nlens, scores,
+                            jk_c, jv_c, visible, is_end, run, cap=None)
+                        prefixes, nlens, scores, bt_full = \
+                            self._reseed_best(pool_t, pool_s, is_end, run,
+                                              prefixes, nlens, scores,
+                                              U_cap - w)
+                        return (prefixes, nlens, scores), bt_full
+
+                    xs = (vis_d[k0:k1], end_d[k0:k1], run_d[k0:k1])
+                    (prefixes, nlens, scores), h = jax.lax.scan(
+                        body, (prefixes, nlens, scores), xs)
+                    hists.append(h)
+                return jnp.concatenate(hists, axis=0)
+
+            fn = self._fusedbeam_cache[key] = jax.jit(fused)
+
+        hist = np.asarray(fn(
+            self.params, jnp.asarray(audio[:, :n_samples]),
+            jnp.asarray(vis_s), jnp.asarray(end_s), jnp.asarray(run_s)))
+
+        texts, delays = self._replay_emission(hist, run_s, end_s, n_chunks,
+                                              stride, W, totals)
         return (texts, delays) if return_delays else texts
