@@ -83,6 +83,24 @@ def test_pretrain_cli_end_to_end(tmp_path, capsys):
     assert ckpts, "no checkpoint written"
 
 
+def test_pretrain_cli_context_parallel(tmp_path, capsys):
+    """run.seq=2 trains with the encoder's time axis sharded over the
+    mesh's seq axis (DP x CP x FSDP x ZeRO-1 all composed), loss finite."""
+    audio, rows = _make_audio_dir(tmp_path)
+    manifest = tmp_path / "train.tsv"
+    manifest.write_text(str(audio) + "\n" +
+                        "\n".join(f"{p}\t{n}" for p, n in rows) + "\n")
+    from wav2vec_s_tpu.train import cli
+    cli.main(["--config", str(_pretrain_yaml(tmp_path, manifest)),
+              "run.seq=2", "run.num_devices=4", "run.max_update=2",
+              f"run.save_dir={tmp_path}/ckpt_seq"])
+    out = capsys.readouterr().out
+    recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert recs, f"no progress records in: {out[:500]}"
+    assert all(np.isfinite(r["loss_total"]) for r in recs
+               if "loss_total" in r)
+
+
 def test_caat_cli_end_to_end(tmp_path, capsys):
     audio, rows = _make_audio_dir(tmp_path, n=4)
     tsv = tmp_path / "train_st.tsv"

@@ -87,6 +87,11 @@ class Wav2Vec2Config:
     required_seq_len_multiple: int = 2
     attention_impl: str = "dense"          # "dense" | "flash" (Pallas,
                                            # inference path only)
+    # context parallelism: name of a mesh axis to shard the encoder's TIME
+    # dimension over (requires an ambient mesh via ``jax.set_mesh``; GSPMD
+    # inserts the K/V all-gathers).  The reference has no sequence/context
+    # parallelism at all (SURVEY §2.7 stretch goal).  None = off.
+    seq_axis: Optional[str] = None
     dtype: str = "float32"
 
     @property
@@ -245,9 +250,16 @@ class BlockwiseTransformerEncoder(nn.Module):
         x = append_right_context(x, layout)
         # flash path: inference always; training too via the custom_vjp
         # backward kernel — except with attention dropout, which the kernel
-        # does not implement (fall back to dense XLA attention then)
+        # does not implement (fall back to dense XLA attention then), and
+        # except under context parallelism: GSPMD cannot partition a
+        # pallas_call's time axis, so CP always takes the XLA dense path
+        # (the partitioner turns the QK^T einsum into an all-gather of K/V
+        # over ``seq`` + local-query attention).
         use_flash = c.attention_impl == "flash" and (
-            not train or c.attention_dropout == 0.0)
+            not train or c.attention_dropout == 0.0) and c.seq_axis is None
+        if c.seq_axis is not None:
+            x = jax.lax.with_sharding_constraint(
+                x, jax.sharding.PartitionSpec(None, c.seq_axis, None))
         if use_flash:
             from wav2vec_s_tpu.models.modules import FlashSpec
             bias = FlashSpec(extend_padding_mask(pm, layout),

@@ -30,27 +30,38 @@ class MeshAxes:
     data: str = "data"
     model: str = "model"
     pipe: str = "pipe"
+    seq: str = "seq"
 
 
 AXES = MeshAxes()
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              n_pipe: int = 1,
+              n_pipe: int = 1, n_seq: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, model[, pipe]) mesh; defaults to all devices on the
-    data axis.  The ``pipe`` axis only appears when n_pipe > 1 (existing
-    2-axis sharding rules are unaffected otherwise)."""
+    """Build a (data, model[, pipe][, seq]) mesh; defaults to all devices
+    on the data axis.  The ``pipe`` / ``seq`` axes only appear when their
+    size is > 1 (existing 2-axis sharding rules are unaffected otherwise).
+
+    ``seq`` is the context-parallel axis: activations shard their TIME
+    dimension over it inside the blockwise encoder (SURVEY §2.7 names
+    sequence/context parallelism as the TPU build's stretch goal — the
+    reference has none; long sequences there are handled only by the
+    blockwise mask within one device)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // (n_model * n_pipe)
-    assert n_data * n_model * n_pipe == len(devices), (
-        f"mesh {n_data}x{n_model}x{n_pipe} != {len(devices)} devices")
+        n_data = len(devices) // (n_model * n_pipe * n_seq)
+    assert n_data * n_model * n_pipe * n_seq == len(devices), (
+        f"mesh {n_data}x{n_model}x{n_pipe}x{n_seq} != {len(devices)} devices")
+    shape, names = [n_data, n_model], [AXES.data, AXES.model]
     if n_pipe > 1:
-        arr = np.asarray(devices).reshape(n_data, n_model, n_pipe)
-        return Mesh(arr, (AXES.data, AXES.model, AXES.pipe))
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (AXES.data, AXES.model))
+        shape.append(n_pipe)
+        names.append(AXES.pipe)
+    if n_seq > 1:
+        shape.append(n_seq)
+        names.append(AXES.seq)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, tuple(names))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -155,6 +155,11 @@ def main(argv=None):
     run = cfg.run
     rng = random.Random(run.seed)
 
+    if run.seq > 1:
+        # context parallelism: the encoder shards its time axis over the
+        # mesh's `seq` axis via a GSPMD constraint (models/wav2vec2.py)
+        cfg.model.setdefault("seq_axis", "seq")
+
     if run.task == "pretrain":
         manifest, batcher, model, make_loss, init_params = build_pretrain(cfg)
         sizes = np.minimum(np.asarray(manifest.sizes),
@@ -166,8 +171,17 @@ def main(argv=None):
     devices = jax.devices()
     if run.num_devices:
         devices = devices[:run.num_devices]
-    mesh = make_mesh(devices=devices)
-    n_data = len(devices)
+    mesh = make_mesh(n_seq=run.seq, devices=devices)
+    n_data = len(devices) // run.seq
+    if run.seq > 1:
+        # bare-PartitionSpec sharding constraints inside the encoder need
+        # an ambient mesh; jax.set_mesh works both as a global setter and
+        # as a context manager — keep the context object alive for the
+        # whole run either way
+        _mesh_ctx = jax.set_mesh(mesh)
+        enter = getattr(_mesh_ctx, "__enter__", None)
+        if enter is not None:
+            enter()
 
     batches = batch_by_size(sizes, cfg.data.max_tokens,
                             required_batch_size_multiple=n_data)

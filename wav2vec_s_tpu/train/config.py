@@ -64,6 +64,10 @@ class RunConfig:
     # distributed/fully_sharded_data_parallel.py)
     zero: bool = False                 # ZeRO-1: shard optimizer state
     fsdp: bool = False                 # shard parameters over the data axis
+    # context parallelism: shard the encoder's time axis over `seq`-many
+    # devices (mesh axis "seq"; model.seq_axis is set automatically).  The
+    # reference has no sequence/context parallelism (SURVEY §2.7).
+    seq: int = 1
     # rematerialization of the loss forward: none | dots | nothing |
     # offload_dots (offload saveables to pinned host memory); see
     # train/step.py::REMAT_POLICIES
