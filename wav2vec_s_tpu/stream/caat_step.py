@@ -442,7 +442,9 @@ def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
     """Next-symbol log-probs from cached jointer K/V.
 
     h_last: [N, D] LM state; jk/jv: per-layer tuples of time-major
-    [T_cap, N, D]; visible: [N] number of revealed encoder frames.
+    [T_cap, N, D]; visible: [N] number of revealed encoder frames, or a
+    [N, T_cap] boolean PLANE (True = revealed) for the continuous-batching
+    serving path whose slots hold scattered global rows (stream/serving.py).
     Returns [N, V]
     log-probs — bit-compatible with ``W2V2CaatModel.decode_step``
     (single-group jointer + shared-embedding projection) for both LN
@@ -454,8 +456,11 @@ def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
     Dh = D // H
     t_cap = jk[0].shape[0]
     N = h_last.shape[0]
-    bias = jnp.where(jnp.arange(t_cap)[None] < visible[:, None], 0.0,
-                     MASK_VALUE)                                  # [N, T]
+    if visible.ndim == 2:
+        bias = jnp.where(visible[:, :t_cap], 0.0, MASK_VALUE)    # [N, T]
+    else:
+        bias = jnp.where(jnp.arange(t_cap)[None] < visible[:, None], 0.0,
+                         MASK_VALUE)                             # [N, T]
     x = h_last
     for i in range(c.jointer_layers):
         lp = params["jointer"][f"layer_{i}"]

@@ -295,6 +295,168 @@ class IncrementalBlockwiseEncoder:
 
         return step
 
+    # -- serving step ----------------------------------------------------
+    def make_serving_step(self, kv_cap: int | None = None):
+        """Step variant for CONTINUOUS BATCHING (stream/serving.py): slots
+        at different stream positions share lockstep global cache rows.
+
+        Differences from the corpus step:
+        - positions come from per-slot frame counts (``frames_done [N]``),
+          not the global write offset — each slot's positions stay
+          contiguous from its own 0 even though its rows are scattered
+          across global time;
+        - cached-key visibility is a per-slot boolean PLANE
+          (``vis [N, t_cap]``, True = row belongs to this slot's stream),
+          not the shared ``row < t_main`` lower bound — rows written while
+          a slot was absent/stalled stay invisible to it forever;
+        - every step commits ``n_main + rc`` rows (the flush layout):
+          the caller marks the rc tail visible only for slots that end
+          their stream this step, other slots simply waste those rows
+          (compaction reclaims them).
+
+        Returns step(params, state, window, frames_done) -> new state; the
+        visibility plane is managed by the caller (it is serving-session
+        state, not encoder state).
+        """
+        c = self.cfg
+        mc, rc, B_s = self.mc, self.rc, self.blocks
+        n_main = self.n_main
+        n_frames = n_main + rc
+        copy_src = np.concatenate(
+            [np.arange((j + 1) * mc, (j + 1) * mc + rc)
+             for j in range(B_s)]) if rc else np.zeros(0, np.int64)
+        n_rows = n_main + B_s * rc
+        row_block = np.concatenate(
+            [np.arange(n_main) // mc, np.repeat(np.arange(B_s), rc)])
+        key_is_copy = np.concatenate(
+            [np.zeros(n_main, bool), np.ones(B_s * rc, bool)])
+        allowed = np.where(
+            key_is_copy[None, :],
+            row_block[:, None] == row_block[None, :],
+            row_block[:, None] >= row_block[None, :])
+        intra_bias = np.where(allowed, 0.0, -1e4).astype(np.float32)
+        kv_cap_ = self.t_cap if kv_cap is None else kv_cap
+        n_keep = n_main + rc
+
+        def step(params, state: IncrementalEncoderState, window,
+                 frames_done, vis):
+            feats = self._conv.apply(
+                {"params": params["feature_extractor"]}, window)
+            feats = feats[:, :n_frames]
+            feats = _ln(params["layer_norm"], feats)
+            if "post_extract_proj" in params:
+                feats = _dense(params["post_extract_proj"], feats)
+
+            enc_p = params["encoder"]
+            # per-slot positions: slot-local frame index + fairseq offset
+            pos_idx = (frames_done[:, None]
+                       + jnp.arange(n_frames)[None] + POS_OFFSET)
+            feats = feats + self._table[pos_idx].astype(feats.dtype)
+            if not c.layer_norm_first:
+                feats = _ln(enc_p["layer_norm"], feats)
+            if rc:
+                x = jnp.concatenate(
+                    [feats[:, :n_main],
+                     feats[:, jnp.asarray(copy_src)]], axis=1)
+            else:
+                x = feats[:, :n_main]
+
+            t0 = state.t_main
+            # per-slot plane instead of the shared lower bound
+            bias_c4 = jnp.where(vis[:, :kv_cap_], 0.0,
+                                MASK_VALUE)[:, None, None, :]  # [N,1,1,cap]
+            bias_i4 = jnp.asarray(intra_bias)[None, None]
+
+            H = c.encoder_attention_heads
+            D = c.encoder_embed_dim
+            Dh = D // H
+            new_k = list(state.k_cache)
+            new_v = list(state.v_cache)
+
+            for i in range(c.encoder_layers):
+                lp = enc_p["layers"][f"layer_{i}"]
+                att = lp["self_attn"]
+                h_in = (_ln(lp["self_attn_layer_norm"], x)
+                        if c.layer_norm_first else x)
+                q = _dense(att["q_proj"], h_in) * (Dh ** -0.5)
+                k_new = _dense(att["k_proj"], h_in)
+                v_new = _dense(att["v_proj"], h_in)
+                cache_dtype = state.k_cache[i].dtype
+
+                def split(t):
+                    B, T, _ = t.shape
+                    return t.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+
+                def split_tm(t):
+                    T, B, _ = t.shape
+                    return t.reshape(T, B, H, Dh)
+
+                qh = split(q)
+                kc = split_tm(state.k_cache[i][:kv_cap_].astype(x.dtype))
+                vc = split_tm(state.v_cache[i][:kv_cap_].astype(x.dtype))
+                lg_cache = jnp.einsum(
+                    "bhqd,tbhd->bhqt", qh, kc,
+                    preferred_element_type=jnp.float32) + bias_c4
+                lg_intra = jnp.einsum(
+                    "bhqd,bhkd->bhqk", qh, split(k_new),
+                    preferred_element_type=jnp.float32) + bias_i4
+                m = jnp.maximum(lg_cache.max(-1, keepdims=True),
+                                lg_intra.max(-1, keepdims=True))
+                e1 = jnp.exp(lg_cache - m)
+                e2 = jnp.exp(lg_intra - m)
+                inv = 1.0 / (e1.sum(-1, keepdims=True)
+                             + e2.sum(-1, keepdims=True))
+                p1 = (e1 * inv).astype(x.dtype)
+                p2 = (e2 * inv).astype(x.dtype)
+                o = (jnp.einsum("bhqt,tbhd->bhqd", p1, vc)
+                     + jnp.einsum("bhqk,bhkd->bhqd", p2, split(v_new)))
+                o = o.transpose(0, 2, 1, 3).reshape(x.shape)
+                h = _dense(att["out_proj"], o)
+
+                # flush layout: main rows + the last block's look-ahead
+                if rc:
+                    keep_k = jnp.concatenate(
+                        [k_new[:, :n_main], k_new[:, n_rows - rc:]], axis=1)
+                    keep_v = jnp.concatenate(
+                        [v_new[:, :n_main], v_new[:, n_rows - rc:]], axis=1)
+                else:
+                    keep_k, keep_v = k_new, v_new
+                new_k[i] = jax.lax.dynamic_update_slice_in_dim(
+                    new_k[i], keep_k.swapaxes(0, 1).astype(cache_dtype),
+                    t0, axis=0)
+                new_v[i] = jax.lax.dynamic_update_slice_in_dim(
+                    new_v[i], keep_v.swapaxes(0, 1).astype(cache_dtype),
+                    t0, axis=0)
+
+                if c.layer_norm_first:
+                    x = x + h
+                    hf = _dense(lp["fc2"], jax.nn.gelu(
+                        _dense(lp["fc1"], _ln(lp["final_layer_norm"], x)),
+                        approximate=False))
+                    x = x + hf
+                else:
+                    x = _ln(lp["self_attn_layer_norm"], x + h)
+                    hf = _dense(lp["fc2"], jax.nn.gelu(
+                        _dense(lp["fc1"], x), approximate=False))
+                    x = _ln(lp["final_layer_norm"], x + hf)
+
+            x_out = (_ln(enc_p["layer_norm"], x) if c.layer_norm_first
+                     else x)
+            if rc:
+                commit = jnp.concatenate(
+                    [x_out[:, :n_main], x_out[:, n_rows - rc:]], axis=1)
+            else:
+                commit = x_out
+            out_cache = jax.lax.dynamic_update_slice_in_dim(
+                state.out_cache,
+                commit.swapaxes(0, 1).astype(state.out_cache.dtype),
+                t0, axis=0)
+            return IncrementalEncoderState(
+                k_cache=tuple(new_k), v_cache=tuple(new_v),
+                out_cache=out_cache, t_main=t0 + n_keep)
+
+        return step
+
     # -- public API ------------------------------------------------------
     def init(self) -> IncrementalEncoderState:
         return init_state(self.n, self.cfg.encoder_layers,
