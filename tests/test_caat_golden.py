@@ -139,6 +139,85 @@ def test_caat_joint_lattice_golden(tmp_path):
     np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
 
 
+def test_caat_export_loads_into_live_reference(tmp_path):
+    """The export direction: our param tree -> rain-named state dict that
+    the LIVE reference modules load, reproducing the same joint lattice —
+    i.e. a model trained here can be evaluated by the reference stack."""
+    from wav2vec_s_tpu.checkpoint.torch_export import export_caat_params
+
+    encoder, decoder, dictionary, args = _build_reference(tmp_path)
+    sd = {}
+    for k, v in encoder.state_dict().items():
+        sd[f"encoder.{k}"] = v
+    for k, v in decoder.state_dict().items():
+        sd[f"decoder.{k}"] = v
+
+    w2v_cfg = Wav2Vec2Config(
+        conv_feature_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)),
+        extractor_mode="layer_norm", encoder_layers=2, encoder_embed_dim=D,
+        encoder_ffn_embed_dim=48, encoder_attention_heads=4, final_dim=16,
+        encoder_layerdrop=0.0, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, dropout_input=0.0, dropout_features=0.0,
+        main_context=4, right_context=2, pos_type="sin",
+        feature_grad_mult=1.0)
+    caat_cfg = CaatConfig(
+        vocab_size=len(dictionary), decoder_layers=2, decoder_embed_dim=D,
+        decoder_ffn_embed_dim=48, decoder_attention_heads=4,
+        jointer_layers=2, jointer_embed_dim=D, jointer_ffn_embed_dim=48,
+        jointer_attention_heads=4, transducer_downsample=8,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0)
+    params = import_caat_params(sd, w2v_cfg, caat_cfg)
+
+    # PERTURB the tree (as real training would) so the export is proven
+    # against weights the reference has never seen
+    params = {k: v for k, v in params.items()}
+    import jax
+
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) * 1.01 + 0.003, params)
+    exported = export_caat_params(params)
+
+    # every exported tensor maps onto a reference state-dict name
+    unknown = [k for k in exported if k not in sd]
+    assert not unknown, f"exported keys unknown to the reference: {unknown}"
+
+    # load into a SECOND, fresh reference stack
+    torch.manual_seed(123)
+    encoder2, decoder2, dictionary2, _ = _build_reference(tmp_path)
+    enc_sd = {k[len("encoder."):]: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in exported.items() if k.startswith("encoder.")}
+    dec_sd = {k[len("decoder."):]: torch.from_numpy(np.ascontiguousarray(v))
+              for k, v in exported.items() if k.startswith("decoder.")}
+    m1, u1 = encoder2.load_state_dict(enc_sd, strict=False)
+    m2, u2 = decoder2.load_state_dict(dec_sd, strict=False)
+    assert not u1 and not u2, (u1, u2)     # no unexpected keys
+    # missing keys may only be buffers / pre-train-only tensors
+    allowed = ("_float_tensor", "mask_emb", "quantizer", "project_q",
+               "final_proj", "embed_positions")
+    bad = [k for k in list(m1) + list(m2)
+           if not any(tok in k for tok in allowed)]
+    assert not bad, f"export left real parameters unset: {bad}"
+
+    B, S = 2, 2400
+    torch.manual_seed(1)
+    x = torch.randn(B, S)
+    lengths = torch.tensor([S, S])
+    prev = torch.tensor([[dictionary.eos(), 5, 6, 7],
+                         [dictionary.eos(), 8, 9, 10]])
+    with torch.no_grad():
+        enc_out = encoder2(x, lengths)
+        want_joint, want_glens = decoder2(prev, enc_out)
+
+    model = W2V2CaatModel(w2v_cfg, caat_cfg)
+    got_joint, got_glens = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+        jnp.asarray(x.numpy()), jnp.asarray(prev.numpy()), train=False)
+    np.testing.assert_array_equal(np.asarray(got_glens),
+                                  want_glens.numpy())
+    np.testing.assert_allclose(np.asarray(got_joint), want_joint.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
 def test_caat_import_rejects_layer_mismatch(tmp_path):
     encoder, decoder, dictionary, args = _build_reference(tmp_path)
     sd = {}

@@ -125,6 +125,58 @@ def test_import_via_torch_save_roundtrip(tmp_path):
     assert "feature_extractor" in imported and "encoder" in imported
 
 
+def test_export_inverts_import_exactly():
+    """export(import(sd)) reproduces every reference tensor bit-for-bit
+    (weight-normed pos-conv compared in folded form)."""
+    import dataclasses
+
+    from wav2vec_s_tpu.checkpoint.torch_export import export_wav2vec2_params
+
+    cfg = dataclasses.replace(TINY, pos_type="conv", conv_pos=8,
+                              conv_pos_groups=2)
+    sd = fairseq_style_state_dict(cfg, encoder_type="full")
+    exported = export_wav2vec2_params(
+        import_wav2vec2_params(sd, cfg, encoder_type="full"))
+
+    def fold(g, v):
+        n = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        return g * v / np.maximum(n, 1e-12)
+
+    want_keys = set(sd)
+    got_keys = set(exported)
+    assert want_keys == got_keys, (want_keys - got_keys,
+                                   got_keys - want_keys)
+    for k in sd:
+        if k.endswith("weight_g") or k.endswith("weight_v"):
+            continue
+        np.testing.assert_allclose(exported[k], sd[k].numpy(), atol=1e-6,
+                                   err_msg=k)
+    np.testing.assert_allclose(
+        fold(exported["encoder.pos_conv.0.weight_g"],
+             exported["encoder.pos_conv.0.weight_v"]),
+        fold(sd["encoder.pos_conv.0.weight_g"].numpy(),
+             sd["encoder.pos_conv.0.weight_v"].numpy()), atol=1e-6)
+
+
+def test_convert_cli_export_end_to_end(tmp_path, capsys):
+    """orbax checkpoint -> reference-named .pt via the converter CLI."""
+    from wav2vec_s_tpu.checkpoint.orbax_io import CheckpointManager
+
+    sd = fairseq_style_state_dict(TINY)
+    params = import_wav2vec2_params(sd, TINY, encoder_type="blockwise")
+    CheckpointManager(tmp_path / "ours", keep_last=0).save(
+        0, {"params": params})
+
+    from wav2vec_s_tpu.checkpoint import convert_cli
+    convert_cli.main(["--export-from", str(tmp_path / "ours"),
+                      "--out", str(tmp_path / "export.pt")])
+    state = torch.load(tmp_path / "export.pt", weights_only=False)
+    assert set(state["model"]) == set(sd)
+    np.testing.assert_allclose(
+        state["model"]["final_proj.weight"].numpy(),
+        sd["final_proj.weight"].numpy(), atol=1e-6)
+
+
 def test_convert_cli_end_to_end(tmp_path, capsys):
     """torch .pt -> orbax checkpoint via the converter CLI."""
     sd = fairseq_style_state_dict(TINY)

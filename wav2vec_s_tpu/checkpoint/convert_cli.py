@@ -1,16 +1,24 @@
-"""Convert a reference torch checkpoint into our orbax format.
+"""Convert checkpoints between the reference torch format and ours.
 
-Twin of the fork's ``fairseq_cli/convert_online_model.py`` (a train.py clone
-that dumps a converted online state dict, :95): imports a fairseq ``.pt``
-(pre-trained wav2vec-S or a fine-tuned CAAT checkpoint with
-``encoder.w2v2_model.*`` prefixes) into our param tree and writes an orbax
-checkpoint directory that the train/eval CLIs can restore from.
+Import (twin of the fork's ``fairseq_cli/convert_online_model.py``, a
+train.py clone that dumps a converted online state dict, :95): a fairseq
+``.pt`` (pre-trained wav2vec-S or a fine-tuned CAAT checkpoint with
+``encoder.w2v2_model.*`` prefixes) becomes an orbax checkpoint directory
+that the train/eval CLIs can restore from.
+
+Export (the inverse; no reference equivalent): our orbax checkpoint becomes
+a reference-named ``torch.save`` ``.pt`` the fairseq/rain stack can load —
+models trained here can be evaluated with the reference's own harness.
 
 Usage:
+  # import
   python -m wav2vec_s_tpu.checkpoint.convert_cli \
       --pt /path/wav2vec-S-base.pt --out /ckpt_dir \
       [--prefix encoder.w2v2_model.] [--encoder-type blockwise] \
       [model.key=value ...]
+  # export
+  python -m wav2vec_s_tpu.checkpoint.convert_cli \
+      --export-from /ckpt_dir --out /path/model.pt --model caat
 """
 
 from __future__ import annotations
@@ -23,9 +31,16 @@ import numpy as np
 
 
 def main(argv=None):
-    p = argparse.ArgumentParser("torch -> orbax checkpoint converter")
-    p.add_argument("--pt", required=True, help="fairseq torch checkpoint")
-    p.add_argument("--out", required=True, help="orbax checkpoint dir")
+    p = argparse.ArgumentParser("torch <-> orbax checkpoint converter")
+    p.add_argument("--pt", default=None, help="fairseq torch checkpoint "
+                   "to import (default direction)")
+    p.add_argument("--out", required=True,
+                   help="output: orbax dir (import) or .pt path (export)")
+    p.add_argument("--export-from", default=None, metavar="CKPT_DIR",
+                   help="EXPORT direction: read our orbax checkpoint dir "
+                        "and write a reference-named torch .pt to --out "
+                        "(fairseq wav2vec2 / rain w2v2_caat naming, per "
+                        "--model)")
     p.add_argument("--prefix", default="",
                    help="state-dict key prefix to strip "
                         "(e.g. 'encoder.w2v2_model.')")
@@ -49,6 +64,27 @@ def main(argv=None):
     from wav2vec_s_tpu.checkpoint.orbax_io import CheckpointManager
     from wav2vec_s_tpu.models import Wav2Vec2Config
 
+    if args.export_from:
+        from wav2vec_s_tpu.checkpoint.torch_export import (
+            export_caat_params, export_wav2vec2_params,
+            save_fairseq_checkpoint)
+
+        state, _ = CheckpointManager(args.export_from, keep_last=0).restore()
+        if state is None:
+            raise FileNotFoundError(f"no checkpoints in {args.export_from}")
+        params = state["params"] if isinstance(state, dict) else state.params
+        sd = (export_caat_params(params) if args.model == "caat"
+              else export_wav2vec2_params(params, prefix=args.prefix))
+        save_fairseq_checkpoint(args.out, sd)
+        n = sum(np.asarray(x).size for x in
+                jax.tree_util.tree_leaves(params))
+        print(f"exported {args.export_from} -> {args.out} "
+              f"({n/1e6:.1f}M params, {len(sd)} tensors)", file=sys.stderr)
+        return
+
+    if not args.pt:
+        p.error("--pt is required for the import direction "
+                "(or pass --export-from for export)")
     state = load_torch_checkpoint(args.pt)
     sd = state["model"] if "model" in state else state
 

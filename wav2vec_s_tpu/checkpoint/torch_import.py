@@ -161,8 +161,9 @@ def import_caat_params(state_dict: Dict[str, Any], w2v_cfg, caat_cfg
     - ``decoder.lm.layer_norm.*``       -> ``decoder_lm.layer_norm`` (pre-LN)
     - ``decoder.jointer.layers.{i}.*``  -> ``jointer.layer_{i}``
       (enc_attn q/k/v/out projections, attn/final layer norms, fc1/fc2)
-    - ``decoder.transducer_out.out_proj.weight`` -> ``out_proj`` (only when
-      the embedding is NOT shared)
+    - ``decoder.transducer_out.output_proj.weight`` -> ``out_proj`` (only
+      when the embedding is NOT shared; attribute name per
+      attention_transducer.py:311)
 
     Buffers (sinusoidal position ``_float_tensor`` etc.) are ignored — our
     position tables are recomputed functions of (length, dim).
@@ -211,7 +212,7 @@ def import_caat_params(state_dict: Dict[str, Any], w2v_cfg, caat_cfg
 
     if not caat_cfg.share_input_output_embed:
         p["out_proj"] = {
-            "kernel": _t(sd["decoder.transducer_out.out_proj.weight"]).T}
+            "kernel": _t(sd["decoder.transducer_out.output_proj.weight"]).T}
     return p
 
 
