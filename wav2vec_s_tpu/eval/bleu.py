@@ -16,6 +16,35 @@ def _ngrams(tokens, n):
     return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
 
 
+def _try_native_counts():
+    try:
+        from wav2vec_s_tpu import native
+
+        if native.available():
+            return native.bleu_counts
+    except Exception:            # pragma: no cover - native ext optional
+        pass
+    return None
+
+
+_native_counts = _try_native_counts()
+
+
+def _pair_counts(ht, rt):
+    """Clipped n-gram matches/totals for one (hyp, ref) token pair; the
+    C++ fast path mirrors fairseq's libbleu counting
+    (fairseq/fairseq/clib/libbleu/libbleu.cpp)."""
+    if _native_counts is not None:
+        m, t = _native_counts(ht, rt)
+        return list(m), list(t)
+    matches, totals = [0] * 4, [0] * 4
+    for n in range(1, 5):
+        hc, rc = _ngrams(ht, n), _ngrams(rt, n)
+        totals[n - 1] += max(sum(hc.values()), 0)
+        matches[n - 1] += sum((hc & rc).values())
+    return matches, totals
+
+
 def _fallback_corpus_bleu(hypos: List[str], refs: List[str]) -> float:
     matches = [0] * 4
     totals = [0] * 4
@@ -24,10 +53,10 @@ def _fallback_corpus_bleu(hypos: List[str], refs: List[str]) -> float:
         ht, rt = h.split(), r.split()
         hyp_len += len(ht)
         ref_len += len(rt)
-        for n in range(1, 5):
-            hc, rc = _ngrams(ht, n), _ngrams(rt, n)
-            totals[n - 1] += max(sum(hc.values()), 0)
-            matches[n - 1] += sum((hc & rc).values())
+        m, t = _pair_counts(ht, rt)
+        for n in range(4):
+            matches[n] += m[n]
+            totals[n] += t[n]
     if min(totals) == 0 or min(matches) == 0:
         return 0.0
     logp = sum(math.log(m / t) for m, t in zip(matches, totals)) / 4

@@ -8,6 +8,10 @@ Subcommands re-providing the reference's eval entry points:
   + WER/BLEU)
 - ``simul``    ~ the SimulEval harness run (simuleval CLI): streaming decode
   with AL/AP/DAL + quality, in-process
+- ``interactive`` ~ fairseq-interactive (fairseq_cli/interactive.py):
+  stdin-driven streaming decode, words printed as they are emitted
+- ``eval-lm``  ~ fairseq-eval-lm (fairseq_cli/eval_lm.py): perplexity of
+  the decoupled CAAT decoder as a language model
 
 Usage:
   python -m wav2vec_s_tpu.eval.cli average --ckpt-dir D --k 5 --out avg.npz
@@ -232,6 +236,115 @@ def cmd_generate(args):
     print(json.dumps({args.metric.upper(): score, "n": n}))
 
 
+def cmd_interactive(args):
+    """Interactive streaming decode (fairseq_cli/interactive.py twin).
+
+    Reads one utterance per line from ``--input`` (default: stdin) — a wav
+    path, optionally followed by tab-separated fields that are echoed back —
+    and decodes it with the streaming agent, printing words AS THEY ARE
+    EMITTED with the ms of audio consumed at emission:
+
+        S-0   /path/utt.wav
+        W-0   475.0   hello
+        W-0   950.0   world
+        H-0   hello world
+    """
+    from wav2vec_s_tpu.data.audio import read_audio
+    from wav2vec_s_tpu.stream.agent import SAMPLES_PER_MS
+    from wav2vec_s_tpu.train.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    factory = _agent_factory(args, cfg)
+    seg = args.segment_size * SAMPLES_PER_MS
+
+    src = open(args.input) if args.input != "-" else sys.stdin
+    try:
+        for uid, line in enumerate(src):
+            path = line.strip().split("\t")[0]
+            if not path:
+                continue
+            print(f"S-{uid}\t{path}", flush=True)
+            wav = read_audio(path)
+            agent = factory()
+            words, offset = [], 0
+            while offset < len(wav):
+                chunk = wav[offset:offset + seg]
+                offset = min(offset + seg, len(wav))
+                agent.push(chunk, is_end=(offset >= len(wav)))
+                while True:
+                    w = agent.pop_word()
+                    if w is None:
+                        break
+                    words.append(w)
+                    print(f"W-{uid}\t{offset / SAMPLES_PER_MS:.1f}\t{w}",
+                          flush=True)
+            print(f"H-{uid}\t{' '.join(words)}", flush=True)
+    finally:
+        if src is not sys.stdin:
+            src.close()
+
+
+def cmd_eval_lm(args):
+    """Perplexity of the decoupled CAAT decoder as a language model
+    (fairseq_cli/eval_lm.py twin for this framework's only LM surface).
+
+    Scores each line of ``--text`` (tokenized with the configured
+    tokenizer, eos-terminated) under ``W2V2CaatModel.lm_log_probs`` and
+    reports summed NLL, loss in base 2, and perplexity.
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    from wav2vec_s_tpu.data.tokenizer import build_tokenizer
+    from wav2vec_s_tpu.models.caat import W2V2CaatModel
+    from wav2vec_s_tpu.train.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    model, tgt_dict, model_cfg, caat_cfg = _build_caat(cfg)
+    params = _load_params(args.ckpt_dir, args.average_k)
+    tokenizer = None
+    if cfg.data.tokenizer != "word":
+        tokenizer = build_tokenizer(cfg.data.tokenizer,
+                                    cfg.data.spm_model or None)
+
+    @jax.jit
+    def score(prev, tgt):
+        lp = model.apply({"params": params}, prev,
+                         method=W2V2CaatModel.lm_log_probs)
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        keep = (tgt != caat_cfg.pad).astype(jnp.float32)
+        return jnp.sum(nll * keep), jnp.sum(keep)
+
+    lines = [l for l in open(args.text) if l.strip()]
+    total_nll = total_tok = 0.0
+    bs = args.batch_size or 32
+    for s in range(0, len(lines), bs):
+        chunk = lines[s:s + bs]
+        toks = [tgt_dict.encode(
+            tokenizer.encode(l) if tokenizer else l.split(), append_eos=True)
+            for l in chunk]
+        # pad U to a small bucket grid to bound executable count
+        u_max = -(-max(len(t) for t in toks) // 16) * 16
+        tgt = np.full((len(toks), u_max), caat_cfg.pad, np.int32)
+        for i, t in enumerate(toks):
+            tgt[i, :len(t)] = t
+        prev = np.concatenate(
+            [np.full((len(toks), 1), caat_cfg.bos, np.int32),
+             tgt[:, :-1]], axis=1)
+        nll, ntok = score(jnp.asarray(prev), jnp.asarray(tgt))
+        total_nll += float(nll)
+        total_tok += float(ntok)
+    loss = total_nll / max(total_tok, 1.0)
+    print(json.dumps({
+        "loss": round(loss, 4),
+        "loss_base2": round(loss / math.log(2), 4),
+        "perplexity": round(math.exp(loss), 4),
+        "ntokens": int(total_tok),
+        "nsentences": len(lines),
+    }))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("wav2vec_s_tpu eval")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -241,10 +354,10 @@ def main(argv=None):
     pa.add_argument("--k", type=int, default=5)
     pa.add_argument("--out", required=True)
 
-    def common(sp):
+    def common(sp, manifest=True):
         sp.add_argument("--config", required=True)
         sp.add_argument("--ckpt-dir", required=True)
-        sp.add_argument("--manifest", required=True)
+        sp.add_argument("--manifest", required=manifest)
         sp.add_argument("--average-k", type=int, default=0)
         sp.add_argument("--metric", default="bleu", choices=["bleu", "wer"])
         sp.add_argument("--intra-beam", type=int, default=5)
@@ -273,11 +386,22 @@ def main(argv=None):
     pb = sub.add_parser("batch-decode")
     common(pb)
 
-    args = p.parse_args(argv)
+    pi = sub.add_parser("interactive")
+    common(pi, manifest=False)
+    pi.add_argument("--input", default="-",
+                    help="file of wav paths, one per line ('-' = stdin)")
+    pl = sub.add_parser("eval-lm")
+    common(pl, manifest=False)
+    pl.add_argument("--text", required=True,
+                    help="plain-text file to score, one sentence per line")
+
+    argv_list = list(argv) if argv is not None else None
+    args = p.parse_args(argv_list)
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
     {"average": cmd_average, "simul": cmd_simul,
-     "generate": cmd_generate,
+     "generate": cmd_generate, "interactive": cmd_interactive,
+     "eval-lm": cmd_eval_lm,
      "batch-decode": cmd_batch_decode}[args.cmd](args)
 
 

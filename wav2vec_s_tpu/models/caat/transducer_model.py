@@ -91,6 +91,22 @@ class W2V2CaatModel(nn.Module):
             glens = jnp.ones(enc.shape[0], jnp.int32)
         return joint_h, glens
 
+    def lm_log_probs(self, prev_tokens):
+        """Language-model view of the decoupled decoder: next-token
+        log-probs [B, U, V] of the IsolatedDecoder under the (shared)
+        output embedding.
+
+        The reference has no standalone LM eval for the CAAT decoder
+        (fairseq_cli/eval_lm.py scores registered LMs only); this exposes
+        the same measurement — prefix perplexity of the target-side LM —
+        for the decoupled decoder the paper argues stays a pure LM
+        (attention_transducer.py:60-287).
+        """
+        h_lm = self.decoder_lm(prev_tokens, train=False,
+                               embed_matrix=self.embed_tokens)
+        logits = self.output_logits(h_lm)
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
     def decode_step(self, prev_tokens, token_lens, enc, enc_pad):
         """Streaming decode scoring: log-probs of the next symbol.
 
