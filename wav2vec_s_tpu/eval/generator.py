@@ -279,6 +279,57 @@ def make_offline_greedy_decoder(model, vocab, main_context=None,
     return decode
 
 
+def make_s2s_greedy_decoder(model, vocab, main_context=None,
+                            right_context=None, max_len: int = 200):
+    """Jitted batched greedy decode for the seq2seq fine-tune head
+    (``Wav2Vec2Seq2Seq``) — validation BLEU/WER during offline ASR/ST
+    training (rain w2v2_s2s_task.py:199-236 runs its SequenceGenerator2
+    per validation step; greedy is its beam=1 point).
+
+    Same return contract as ``make_offline_greedy_decoder``: (prefixes,
+    lens) with ``prefixes[:, 0]`` a sentinel (here eos, the fairseq prefix
+    convention) so callers detokenize ``prefixes[r, 1:lens[r]]``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    eos, pad = vocab.eos(), vocab.pad()
+
+    @jax.jit
+    def decode(params, source, padding_mask):
+        enc, enc_pad = model.apply(
+            {"params": params}, source, padding_mask, main_context,
+            right_context, False, method=type(model).encode)
+        B = source.shape[0]
+        prefixes = jnp.full((B, max_len + 1), pad, jnp.int32)
+        prefixes = prefixes.at[:, 0].set(eos)
+        lens = jnp.ones(B, jnp.int32)
+
+        def cond(carry):
+            _, _, blocked = carry
+            return ~jnp.all(blocked)
+
+        def body(carry):
+            prefixes, lens, blocked = carry
+            logits = model.apply({"params": params}, prefixes, enc, enc_pad,
+                                 method=type(model).decode_logits)
+            last = logits[jnp.arange(B), lens - 1]
+            last = last.at[:, pad].set(-jnp.inf)
+            tok = jnp.argmax(last, axis=-1)
+            emit = (~blocked) & (tok != eos) & (lens < max_len)
+            prefixes = prefixes.at[jnp.arange(B), lens].set(
+                jnp.where(emit, tok.astype(prefixes.dtype),
+                          prefixes[jnp.arange(B), lens]))
+            lens = lens + emit.astype(lens.dtype)
+            return prefixes, lens, blocked | ~emit
+
+        prefixes, lens, _ = jax.lax.while_loop(
+            cond, body, (prefixes, lens, jnp.zeros(B, bool)))
+        return prefixes, lens
+
+    return decode
+
+
 def transducer_offline_decode(searcher, audio: np.ndarray,
                               intra_beam: int = 5, max_steps: int = 200):
     """Offline CAAT decode = one streaming search over the whole utterance

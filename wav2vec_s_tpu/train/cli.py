@@ -116,7 +116,6 @@ def build_caat(cfg: TrainConfig):
                                  downsample=downsample)
 
     def init_params(batch):
-        import jax.numpy as jnp
         tgt = batch["targets"]
         prev = np.concatenate(
             [np.full((tgt.shape[0], 1), caat_cfg.bos, tgt.dtype), tgt], 1)
@@ -136,6 +135,96 @@ def build_caat(cfg: TrainConfig):
                 enc[k] = v
             merged["encoder"] = enc
             params = merged
+        params = _apply_pretrained_encoder(cfg, params, model_cfg)
+        return params
+
+    return manifest, batcher, model, make_loss, init_params
+
+
+def _apply_pretrained_encoder(cfg: TrainConfig, params, model_cfg):
+    """``--pretrained-encoder-path`` warm start: overwrite the encoder
+    subtree with a previously fine-tuned one (applied AFTER the
+    w2v2_model_path import, matching the reference order — the ASR-trained
+    encoder wins, rain/models/w2v2_transducer.py:247-248)."""
+    if not cfg.run.pretrained_encoder_path:
+        return params
+    from wav2vec_s_tpu.checkpoint import load_pretrained_encoder
+    enc = load_pretrained_encoder(cfg.run.pretrained_encoder_path, model_cfg)
+
+    # template-driven merge: the source may carry extra leaves the
+    # fine-tune model never creates (mask_emb, quantizer heads); every
+    # template leaf must be present and shape-matched in the source
+    def merge(tpl, src, path="encoder"):
+        if isinstance(tpl, dict):
+            missing = [k for k in tpl if k not in src]
+            if missing:
+                raise ValueError(
+                    f"pretrained encoder at "
+                    f"{cfg.run.pretrained_encoder_path} is missing "
+                    f"{path}.{missing[0]}")
+            return {k: merge(v, src[k], f"{path}.{k}")
+                    for k, v in tpl.items()}
+        t, s = np.asarray(tpl), np.asarray(src)
+        if t.shape != s.shape:
+            raise ValueError(f"shape mismatch at {path}: "
+                             f"{t.shape} vs {s.shape}")
+        return s.astype(t.dtype)
+
+    merged = dict(params)
+    merged["encoder"] = merge(params["encoder"], enc)
+    print(f"encoder initialized from {cfg.run.pretrained_encoder_path}",
+          file=sys.stderr)
+    return merged
+
+
+def build_s2s(cfg: TrainConfig):
+    """Offline seq2seq fine-tuning (ASR or ST) on the blockwise encoder —
+    the reference's ``online_w2v2_transformer_offline`` stage
+    (train_wav2vec_s_offline_asr_base.sh) whose encoder seeds the CAAT ST
+    model via ``pretrained_encoder_path``."""
+    from wav2vec_s_tpu.models.asr import Wav2Vec2Seq2Seq
+    from wav2vec_s_tpu.train.recipes import make_s2s_loss_fn
+
+    manifest = read_s2t_manifest(cfg.data.train_manifest, cfg.data.audio_root)
+    tgt_dict = Dictionary.load(cfg.data.vocab)
+    tokenizer = build_tokenizer(cfg.data.tokenizer, cfg.data.spm_model or None,
+                                cfg.data.bpe_dropout)
+    audio_buckets = length_buckets(cfg.data.max_sample_size, multiple=640)
+    batcher = CaatBatcher(manifest, tgt_dict, tokenizer, audio_buckets,
+                          task_type=cfg.data.task_type,
+                          normalize=cfg.data.normalize)
+    model_cfg = Wav2Vec2Config(
+        main_context=cfg.context.main_context,
+        right_context=cfg.context.right_context,
+        context_type="constant", **cfg.model)
+    caat_cfg = CaatConfig(vocab_size=len(tgt_dict), **cfg.caat)
+    model = Wav2Vec2Seq2Seq(model_cfg, caat_cfg)
+
+    def make_loss(mc, rc, downsample=None):
+        return make_s2s_loss_fn(model, caat_cfg, mc, rc,
+                                label_smoothing=cfg.run.label_smoothing)
+
+    def init_params(batch):
+        tgt = batch["targets"]
+        prev = np.concatenate(
+            [np.full((tgt.shape[0], 1), caat_cfg.eos, tgt.dtype),
+             tgt[:, :-1]], 1)
+        rngs = {n: jax.random.PRNGKey(i) for i, n in enumerate(
+            ["params", "dropout", "gumbel", "negatives", "layerdrop"])}
+        variables = model.init(rngs, batch["source"], prev, train=False)
+        params = variables["params"]
+        if cfg.run.w2v2_model_path:
+            from wav2vec_s_tpu.checkpoint import (
+                load_torch_checkpoint, import_wav2vec2_params)
+            sd = load_torch_checkpoint(cfg.run.w2v2_model_path)
+            w2v = import_wav2vec2_params(sd["model"], model_cfg)
+            merged = dict(params)
+            enc = dict(params["encoder"])
+            for k, v in w2v.items():
+                enc[k] = v
+            merged["encoder"] = enc
+            params = merged
+        params = _apply_pretrained_encoder(cfg, params, model_cfg)
         return params
 
     return manifest, batcher, model, make_loss, init_params
@@ -153,35 +242,52 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
     run = cfg.run
-    rng = random.Random(run.seed)
 
     if run.seq > 1:
         # context parallelism: the encoder shards its time axis over the
         # mesh's `seq` axis via a GSPMD constraint (models/wav2vec2.py)
         cfg.model.setdefault("seq_axis", "seq")
 
-    if run.task == "pretrain":
-        manifest, batcher, model, make_loss, init_params = build_pretrain(cfg)
-        sizes = np.minimum(np.asarray(manifest.sizes),
-                           cfg.data.max_sample_size)
-    else:
-        manifest, batcher, model, make_loss, init_params = build_caat(cfg)
-        sizes = np.asarray(manifest.n_frames)
-
     devices = jax.devices()
     if run.num_devices:
         devices = devices[:run.num_devices]
     mesh = make_mesh(n_seq=run.seq, devices=devices)
-    n_data = len(devices) // run.seq
+    mesh_ctx = None
     if run.seq > 1:
         # bare-PartitionSpec sharding constraints inside the encoder need
         # an ambient mesh; jax.set_mesh works both as a global setter and
         # as a context manager — keep the context object alive for the
         # whole run either way
-        _mesh_ctx = jax.set_mesh(mesh)
-        enter = getattr(_mesh_ctx, "__enter__", None)
+        mesh_ctx = jax.set_mesh(mesh)
+        enter = getattr(mesh_ctx, "__enter__", None)
         if enter is not None:
             enter()
+    try:
+        _train(cfg, mesh, devices)
+    finally:
+        # in-process callers (tests, notebooks) must not leak the ambient
+        # mesh into a later run built over a different device set
+        exit_ = getattr(mesh_ctx, "__exit__", None)
+        if mesh_ctx is not None and exit_ is not None:
+            exit_(None, None, None)
+
+
+def _train(cfg: TrainConfig, mesh, devices):
+    run = cfg.run
+    rng = random.Random(run.seed)
+
+    if run.task == "pretrain":
+        manifest, batcher, model, make_loss, init_params = build_pretrain(cfg)
+        sizes = np.minimum(np.asarray(manifest.sizes),
+                           cfg.data.max_sample_size)
+    elif run.task == "s2s":
+        manifest, batcher, model, make_loss, init_params = build_s2s(cfg)
+        sizes = np.asarray(manifest.n_frames)
+    else:
+        manifest, batcher, model, make_loss, init_params = build_caat(cfg)
+        sizes = np.asarray(manifest.n_frames)
+
+    n_data = len(devices) // run.seq
 
     batches = batch_by_size(sizes, cfg.data.max_tokens,
                             required_batch_size_multiple=n_data)
@@ -274,7 +380,7 @@ def main(argv=None):
     # compiled executable per step size (same pattern as the (mc, rc)
     # context buckets).
     sampled_steps = None
-    if run.task != "pretrain" and model.cfg.step_mode == "random":
+    if run.task not in ("pretrain", "s2s") and model.cfg.step_mode == "random":
         sampled_steps = model.cfg.sampled_steps
 
     # validation: eval-mode loss over the valid manifest (patience early stop
@@ -302,7 +408,9 @@ def main(argv=None):
         @jax.jit
         def vstep(params, batch, rng):
             loss, (n, logs) = vloss_fn(params, batch, rng, 0)
-            return loss, n
+            # s2s logs n_correct: validation accuracy is the recipe's
+            # --best-checkpoint-metric accuracy --maximize (offline ASR)
+            return loss, n, logs.get("n_correct", loss * 0.0)
 
         # generation-based validation BLEU (rain w2v2_s2s_task.py:199-236)
         vdecode = vtexts = None
@@ -311,9 +419,11 @@ def main(argv=None):
             # BLEU decode reads hypotheses back row-by-row, which needs a
             # fully-addressable array; multi-host runs validate loss-only
             from wav2vec_s_tpu.eval.generator import (
-                make_offline_greedy_decoder)
+                make_offline_greedy_decoder, make_s2s_greedy_decoder)
             tgt_dict = vbatcher.tgt_dict
-            vdecode = make_offline_greedy_decoder(model, tgt_dict, mc0, rc0)
+            make_dec = (make_s2s_greedy_decoder if run.task == "s2s"
+                        else make_offline_greedy_decoder)
+            vdecode = make_dec(model, tgt_dict, mc0, rc0)
             vtexts = (vman.src_texts if cfg.data.task_type == "asr"
                       else vman.tgt_texts)
 
@@ -323,7 +433,7 @@ def main(argv=None):
         from wav2vec_s_tpu.stream.searcher import detok_pieces
 
         vbatcher, vbatches, vstep, vdecode, vtexts, vsz = valid_setup
-        tot, n = 0.0, 0.0
+        tot, n, ncorr = 0.0, 0.0, 0.0
         hyps, refs = [], []
         for bidx in vbatches:
             # multi-host: same row-sharded collation as training; on
@@ -337,9 +447,10 @@ def main(argv=None):
             local = bidx[process_local_rows(len(bidx))]
             hb = vbatcher.collate(local, size_hint=hint)
             vb = shard_batch(mesh, hb)
-            l, sz = vstep(params, vb, jax.random.PRNGKey(0))
+            l, sz, nc = vstep(params, vb, jax.random.PRNGKey(0))
             tot += float(l)
             n += float(sz)
+            ncorr += float(nc)
             if vdecode is not None:
                 pfx, lens = vdecode(params, vb["source"],
                                     vb.get("padding_mask"))
@@ -350,10 +461,11 @@ def main(argv=None):
                                              pfx[r, 1:lens[r]]))
                     refs.append(vtexts[local[r]])
         vloss = tot / max(n, 1.0)
+        vacc = ncorr / max(n, 1.0) if run.task == "s2s" else None
         if vdecode is None:
-            return vloss, None
+            return vloss, None, vacc
         from wav2vec_s_tpu.eval.bleu import corpus_bleu
-        return vloss, corpus_bleu(hyps, refs)
+        return vloss, corpus_bleu(hyps, refs), vacc
 
     # failure detection behind run.debug_nan (fairseq nan_detector.py via
     # trainer.py:801-811 + DistributedTimeoutWrapper): localize the first
@@ -454,14 +566,22 @@ def main(argv=None):
 
             if valid_setup is not None and run.validate_interval_updates \
                     and step_no % run.validate_interval_updates == 0:
-                vloss, vbleu = validate(state.params)
+                vloss, vbleu, vacc = validate(state.params)
                 vstats = {"valid_loss": vloss}
                 if vbleu is not None:
                     vstats["valid_bleu"] = vbleu
+                if vacc is not None:
+                    vstats["valid_accuracy"] = vacc
                 progress.log(vstats, step_no, tag="valid")
                 # patience/best track BLEU (negated: lower is better) when
-                # eval_bleu is on, else loss
-                vmetric = -vbleu if vbleu is not None else vloss
+                # eval_bleu is on; s2s tracks accuracy (the reference's
+                # --best-checkpoint-metric accuracy --maximize); else loss
+                if vbleu is not None:
+                    vmetric = -vbleu
+                elif vacc is not None:
+                    vmetric = -vacc
+                else:
+                    vmetric = vloss
                 if vmetric < best_valid - 1e-6:
                     best_valid, bad_validations = vmetric, 0
                 else:

@@ -40,7 +40,10 @@ class DataConfig:
 
 @dataclasses.dataclass
 class RunConfig:
-    task: str = "pretrain"             # pretrain | caat
+    task: str = "pretrain"             # pretrain | caat | s2s
+    # s2s (offline ASR/ST seq2seq fine-tuning): label-smoothed CE
+    # (--label-smoothing 0.1, train_wav2vec_s_offline_asr_base.sh)
+    label_smoothing: float = 0.1
     save_dir: str = "checkpoints"
     max_update: int = 400_000
     update_freq: int = 1
@@ -56,6 +59,11 @@ class RunConfig:
     # warm starts (checkpoint_utils analogues)
     load_pretrained_model_from: str = ""   # torch .pt (wav2vec2 warm start)
     w2v2_model_path: str = ""              # torch .pt for CAAT encoder
+    # encoder warm start from a previous fine-tune stage (the published ST
+    # recipe initializes the CAAT encoder from a trained OFFLINE ASR model:
+    # --pretrained-encoder-path, rain/models/w2v2_transducer.py:234-244).
+    # Accepts one of our checkpoint dirs or a torch .pt.
+    pretrained_encoder_path: str = ""
     restore_from: str = ""                 # our own checkpoint dir
     # freeze schedules (rain w2v2_transducer.py:163-174, unidirect:585-588)
     freeze_w2v2_enc: int = 0

@@ -33,6 +33,13 @@ class OptimConfig:
     warmup_updates: int = 5000
     total_updates: int = 400000
     warmup_init_lr: float = 1e-7
+    # tri_stage (the simultaneous-ASR fine-tune schedule,
+    # train_wav2vec_s_caat_simulasr_base.sh: --lr-scheduler tri_stage
+    # --phase-ratio '[0.1, 0.3, 0.6]' --final-lr-scale 0.05): fractions of
+    # total_updates spent in warmup / hold / decay
+    phase_ratio: tuple = (0.1, 0.3, 0.6)
+    init_lr_scale: float = 0.01
+    final_lr_scale: float = 0.05
 
 
 def build_schedule(cfg: OptimConfig) -> Callable:
@@ -45,6 +52,11 @@ def build_schedule(cfg: OptimConfig) -> Callable:
             cfg.lr, cfg.warmup_updates, cfg.warmup_init_lr)
     if cfg.lr_scheduler == "cosine":
         return SCHEDULES["cosine"](cfg.lr, cfg.warmup_updates, cfg.total_updates)
+    if cfg.lr_scheduler == "tri_stage":
+        w, h, d = (int(r * cfg.total_updates) for r in cfg.phase_ratio)
+        return SCHEDULES["tri_stage"](
+            cfg.lr, w, h, d, init_lr_scale=cfg.init_lr_scale,
+            final_lr_scale=cfg.final_lr_scale)
     raise ValueError(cfg.lr_scheduler)
 
 

@@ -27,6 +27,7 @@ from wav2vec_s_tpu.models.caat.transducer_model import caat_loss
 
 PRETRAIN_RNG_NAMES = ("dropout", "gumbel", "negatives", "layerdrop")
 CAAT_RNG_NAMES = ("dropout", "layerdrop", "rand_pos")
+S2S_RNG_NAMES = ("dropout", "layerdrop")
 
 
 def _rng_dict(rng, names):
@@ -75,6 +76,54 @@ def make_caat_loss_fn(model, caat_cfg, main_context=None, right_context=None,
         n = logs.pop("sample_size")
         scalars = {k: jnp.asarray(v, jnp.float32) for k, v in logs.items()}
         return loss, (n, scalars)
+
+    return loss_fn
+
+
+def make_s2s_loss_fn(model, caat_cfg, main_context=None, right_context=None,
+                     label_smoothing: float = 0.1):
+    """Label-smoothed CE + accuracy for the seq2seq fine-tune head.
+
+    The reference's offline ASR/ST fine-tuning stage — the model the CAAT
+    ST recipe warm-starts its encoder from (``--pretrained-encoder-path``,
+    train_wav2vec_s_caat_simulst_base.sh): arch
+    ``online_w2v2_transformer_offline`` trained with ``--criterion
+    label_smoothed_cross_entropy --label-smoothing 0.1 --report-accuracy``
+    (train_wav2vec_s_offline_asr_base.sh; rain task w2v2_s2s).  Loss
+    follows fairseq's ``label_smoothed_nll_loss``; ``n_correct/total``
+    accuracy is the recipe's ``--best-checkpoint-metric accuracy``.
+    """
+    pad, eos = caat_cfg.pad, caat_cfg.eos
+
+    def loss_fn(params, batch, rng, step):
+        tgt = batch["targets"]               # [B, U] ends with eos, padded
+        B = tgt.shape[0]
+        # fairseq prev_output_tokens: target shifted right, eos-prefixed
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), eos, tgt.dtype), tgt[:, :-1]], axis=1)
+        logits = model.apply(
+            {"params": params}, batch["source"], prev,
+            padding_mask=batch.get("padding_mask"),
+            main_context=main_context, right_context=right_context,
+            train=True, rngs=_rng_dict(rng, S2S_RNG_NAMES))
+        lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        mask = (tgt != pad)
+        m = mask.astype(jnp.float32)
+        V = lprobs.shape[-1]
+        nll = -jnp.take_along_axis(
+            lprobs, tgt[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        smooth = -jnp.sum(lprobs, axis=-1)
+        eps_i = label_smoothing / (V - 1)
+        per_tok = (1.0 - label_smoothing - eps_i) * nll + eps_i * smooth
+        loss = jnp.sum(per_tok * m)
+        ntokens = jnp.sum(m)
+        n_correct = jnp.sum((jnp.argmax(lprobs, -1) == tgt) & mask)
+        scalars = {
+            "nll_loss": jnp.sum(nll * m),
+            "n_correct": n_correct.astype(jnp.float32),
+            "accuracy": n_correct / jnp.maximum(ntokens, 1.0),
+        }
+        return loss, (ntokens, scalars)
 
     return loss_fn
 
