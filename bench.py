@@ -306,6 +306,77 @@ def train_bench(attention_impl: str = "dense", B: int = 8,
     }
 
 
+def pretrain_bench(B: int = 6, seconds: float = 15.0, iters: int = 5):
+    """wav2vec-S pre-training step (base dims): updates/s + est. MFU.
+
+    The 400k-update pre-train dominates the reference recipe's compute
+    (wav2vec-S_base_librispeech.yaml: max_tokens 1.4M samples/GPU); B=6 x
+    15 s ~ 1.44M samples matches that per-chip batch.  Constant (mc=16,
+    rc=8) context — the middle of the sampled-bucket grid the CLI draws
+    from per update (train/recipes.py)."""
+    import os
+
+    from wav2vec_s_tpu.models import Wav2Vec2Model, wav2vec_s_base_config
+    from wav2vec_s_tpu.train.optim import OptimConfig, build_optimizer
+    from wav2vec_s_tpu.train.recipes import make_pretrain_loss_fn
+    from wav2vec_s_tpu.train.step import TrainState, make_train_step
+    from wav2vec_s_tpu.models.feature_extractor import conv_output_length
+    from wav2vec_s_tpu.utils.masking import (
+        compute_span_mask_np, expected_mask_count)
+
+    cfg = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0)
+    model = Wav2Vec2Model(cfg, encoder_type="blockwise")
+
+    S = int(seconds * 16000)
+    src = jax.random.normal(jax.random.PRNGKey(0), (B, S), jnp.float32)
+    frames = conv_output_length(S, cfg.conv_feature_layers)
+    M = expected_mask_count(frames, cfg.mask_prob, cfg.mask_length)
+    rng = np.random.default_rng(0)
+    mask = compute_span_mask_np((B, frames), None, cfg.mask_prob,
+                                cfg.mask_length, rng, exact_count=M)
+    positions = np.zeros((B, M), np.int32)
+    for r in range(B):
+        positions[r] = np.flatnonzero(mask[r])[:M]
+    batch = {"source": src, "mask_positions": jnp.asarray(positions)}
+
+    rngs = {n: jax.random.PRNGKey(i) for i, n in enumerate(
+        ["params", "dropout", "gumbel", "negatives", "layerdrop"])}
+    variables = jax.jit(lambda: model.init(
+        rngs, src[:1], batch["mask_positions"][:1], 0, train=False))()
+    opt = build_optimizer(OptimConfig(lr=5e-4, warmup_updates=100,
+                                      lr_scheduler="polynomial_decay"))
+    state = TrainState.create(variables["params"], opt)
+    loss_fn = make_pretrain_loss_fn(model, main_context=16, right_context=8)
+    step = jax.jit(make_train_step(loss_fn, opt), donate_argnums=0)
+
+    flops = None
+    try:
+        ca = step.lower(state, batch, jax.random.PRNGKey(1)
+                        ).compile().cost_analysis()
+        if ca:
+            ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca0.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    state, logs = step(state, batch, jax.random.PRNGKey(1))
+    float(logs["loss_total"])                 # compile + warmup sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
+    loss = float(logs["loss_total"])          # one sync per log window
+    dt = time.perf_counter() - t0
+    assert loss == loss, "NaN loss in pretrain bench"
+    ups = iters / dt
+    peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
+    mfu = (flops * ups / peak) if flops else None
+    return {
+        "updates_per_sec": round(ups, 3),
+        "audio_sec_per_sec": round(B * seconds * ups, 2),
+        "est_mfu": round(mfu, 4) if mfu is not None else None,
+    }
+
+
 def lattice_bench(impl: str, B=16, T=32, U=65, V=512, iters=10):
     """Delay-transducer loss fwd+bwd: XLA row scans vs Pallas kernels."""
     from wav2vec_s_tpu.ops.transducer import analytic
@@ -347,6 +418,7 @@ def main():
     oneshot_beam5 = beam_bench(n_streams=64, oneshot=True)
     train_dense = train_bench("dense")
     train_flash = train_bench("flash")
+    pretrain = pretrain_bench()
     lat_xla = lattice_bench("xla")
     lat_pal = lattice_bench("pallas")
     print(json.dumps({
@@ -362,6 +434,7 @@ def main():
             "oneshot_beam5_throughput": round(oneshot_beam5, 2),
             "train_step_dense_attn": train_dense,
             "train_step_flash_attn": train_flash,
+            "pretrain_step": pretrain,
             "transducer_loss_ms_xla": round(lat_xla, 2),
             "transducer_loss_ms_pallas": round(lat_pal, 2),
         },
