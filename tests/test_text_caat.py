@@ -83,3 +83,77 @@ def test_text_transducer_agent_streams():
     assert agent.finished
     assert len(out) <= 10
     assert all(v >= vocab.nspecial or v == vocab.eos() for v in out)
+
+
+def test_text_caat_cli_end_to_end(tmp_path, capsys):
+    """Text-family training from the CLI (data.features=text): bitext
+    manifest -> TextCaatModel + caat loss + validation BLEU (the
+    reference's dropout_translation / text transducer task)."""
+    import json
+
+    srcs = ["hello world now", "good morning", "see you soon", "thanks a lot"]
+    tgts = ["hallo welt jetzt", "guten morgen", "bis bald", "danke sehr"]
+    tsv = tmp_path / "train_mt.tsv"
+    tsv.write_text("id\tsrc_text\ttgt_text\n" + "\n".join(
+        f"{i}\t{s}\t{t}" for i, (s, t) in enumerate(zip(srcs, tgts))) + "\n")
+    vocab = tmp_path / "dict.txt"
+    words = sorted({w for t in srcs + tgts for w in t.split()})
+    vocab.write_text("\n".join(f"{w} 1" for w in words) + "\n")
+
+    cfg = tmp_path / "text_caat.yaml"
+    cfg.write_text(f"""
+run:
+  task: caat
+  num_devices: 2
+  save_dir: {tmp_path}/ckpt_text
+  max_update: 3
+  log_interval: 1
+  save_interval_updates: 3
+  validate_interval_updates: 3
+  debug_nan: true
+  eval_bleu: true
+data:
+  train_manifest: {tsv}
+  valid_manifest: {tsv}
+  vocab: {vocab}
+  tokenizer: word
+  features: text
+  max_tokens: 64
+context:
+  main_context: 4
+  right_context: 2
+model:
+  encoder_layers: 2
+  encoder_embed_dim: 24
+  encoder_ffn_embed_dim: 48
+  encoder_attention_heads: 4
+  encoder_layerdrop: 0.0
+caat:
+  decoder_layers: 2
+  decoder_embed_dim: 24
+  decoder_ffn_embed_dim: 48
+  decoder_attention_heads: 4
+  jointer_layers: 2
+  jointer_embed_dim: 24
+  jointer_ffn_embed_dim: 48
+  jointer_attention_heads: 4
+  transducer_downsample: 2
+  step_mode: constant
+  tokens_per_step: 500
+  dropout: 0.1
+optim:
+  lr: 0.001
+  lr_scheduler: inverse_sqrt
+  warmup_updates: 2
+  clip_norm: 2.0
+""")
+    from wav2vec_s_tpu.train import cli
+    cli.main(["--config", str(cfg)])
+    out = capsys.readouterr().out
+    recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    assert recs
+    assert all(np.isfinite(r["loss_total"]) for r in recs
+               if "loss_total" in r)
+    vrecs = [r for r in recs if r.get("tag") == "valid"]
+    assert vrecs and "valid_bleu" in vrecs[-1], vrecs
+    assert list((tmp_path / "ckpt_text").glob("step_*"))

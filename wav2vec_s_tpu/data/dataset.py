@@ -147,3 +147,48 @@ class CaatBatcher:
             t = t[:U]
             tgt[r, :len(t)] = t
         return {"source": src, "padding_mask": pad_mask, "targets": tgt}
+
+
+@dataclasses.dataclass
+class TextBatcher:
+    """Parallel-text collater for the text-source CAAT family — twin of
+    the reference's bitext path (rain/tasks/dropout_translation.py over
+    ``TranslationTask`` + ``BpeDropoutDataset``): tokenize both sides
+    (source with BPE dropout when the tokenizer carries it), eos-append,
+    pad to static buckets.  Emits {source: [B, S] int32 tokens,
+    targets: [B, U] int32} — the same batch contract as ``CaatBatcher``
+    with token ids in place of waveforms, so the train step / loss
+    factories are shared unchanged."""
+
+    manifest: S2TManifest
+    tgt_dict: Dictionary
+    tokenizer: Tokenizer                     # target side (no dropout)
+    src_buckets: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    target_buckets: Sequence[int] = (16, 32, 64, 128)
+    src_dict: Optional[Dictionary] = None    # None -> shared with target
+    src_tokenizer: Optional[Tokenizer] = None  # None -> shared (may carry
+    # BPE dropout; validation batchers should pass a dropout-free one)
+
+    def _encode(self, text: str, src: bool) -> List[int]:
+        tok = (self.src_tokenizer or self.tokenizer) if src \
+            else self.tokenizer
+        d = (self.src_dict or self.tgt_dict) if src else self.tgt_dict
+        return d.encode(tok.encode(text), append_eos=True)
+
+    def collate(self, indices: np.ndarray,
+                size_hint: Optional[int] = None) -> Dict[str, np.ndarray]:
+        srcs = [np.asarray(self._encode(self.manifest.src_texts[i], True),
+                           np.int64) for i in indices]
+        tgts = [np.asarray(self._encode(self.manifest.tgt_texts[i], False),
+                           np.int64) for i in indices]
+        S = bucket_for(max([len(s) for s in srcs] + [size_hint or 0]),
+                       self.src_buckets)
+        U = bucket_for(max(len(t) for t in tgts), self.target_buckets)
+        B = len(srcs)
+        src_pad = (self.src_dict or self.tgt_dict).pad()
+        src = np.full((B, S), src_pad, np.int32)
+        tgt = np.full((B, U), self.tgt_dict.pad(), np.int32)
+        for r, (s, t) in enumerate(zip(srcs, tgts)):
+            src[r, :len(s[:S])] = s[:S]
+            tgt[r, :len(t[:U])] = t[:U]
+        return {"source": src, "targets": tgt}

@@ -81,6 +81,40 @@ def read_s2t_manifest(path, audio_root: str = "") -> S2TManifest:
     )
 
 
+def read_text_manifest(path) -> S2TManifest:
+    """Parallel-text manifest for the text-source CAAT family (the
+    reference trains those via fairseq bitext tasks —
+    rain/tasks/dropout_translation.py over ``TranslationTask`` data).
+
+    Accepts either a tsv with ``src_text``/``tgt_text`` columns (id
+    optional) or a pair of plain text files ``src.txt,tgt.txt``.  Returns
+    an ``S2TManifest`` whose ``n_frames`` is the whitespace token count of
+    the source side (the batching size key), so the train CLI's manifest
+    plumbing is shared with the speech tasks.
+    """
+    if "," in str(path):
+        src_p, tgt_p = str(path).split(",", 1)
+        src = Path(src_p).read_text(encoding="utf-8").splitlines()
+        tgt = Path(tgt_p).read_text(encoding="utf-8").splitlines()
+        if len(src) != len(tgt):
+            raise ValueError(
+                f"parallel text length mismatch: {len(src)} vs {len(tgt)}")
+        ids = [str(i) for i in range(len(src))]
+    else:
+        with open(path, newline="", encoding="utf-8") as f:
+            reader = csv.DictReader(
+                f, delimiter="\t", quotechar=None, doublequote=False,
+                lineterminator="\n", quoting=csv.QUOTE_NONE)
+            rows = list(reader)
+        src = [r["src_text"] for r in rows]
+        tgt = [r["tgt_text"] for r in rows]
+        ids = [r.get("id", str(i)) for i, r in enumerate(rows)]
+    return S2TManifest(
+        ids=ids, audio_paths=[""] * len(src),
+        n_frames=[len(s.split()) + 1 for s in src],
+        tgt_texts=tgt, src_texts=src, speakers=[""] * len(src))
+
+
 @dataclasses.dataclass
 class S2TDataConfig:
     """Twin of rain's yaml data config (st_raw_audio_triple_dataset.py:29-108);

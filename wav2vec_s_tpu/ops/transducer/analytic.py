@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from wav2vec_s_tpu.ops.transducer.jnp_impl import (
-    _alphas, _expected_delay, _gather_final, _lattice_log_probs,
+    _alphas, _expected_delay, _gather_final, _lattice_log_probs_lse,
     _prefix_logsumexp, _affine_prefix)
 
 # "minus infinity" that survives a cumulative sum over the U axis in f32
@@ -157,7 +157,7 @@ def delay_transducer_loss_vjp(acts, labels, act_lens, label_lens,
 
 def _fwd_impl(acts, labels, act_lens, label_lens, delay_values,
               delay_scale, blank):
-    lp_blank, lp_emit = _lattice_log_probs(acts, labels, blank)
+    lp_blank, lp_emit, lse = _lattice_log_probs_lse(acts, labels, blank)
     if _pallas_on():
         from wav2vec_s_tpu.ops.transducer.pallas_kernel import (
             pallas_alphas, pallas_expected_delay)
@@ -172,7 +172,7 @@ def _fwd_impl(acts, labels, act_lens, label_lens, delay_values,
     prob = -ll
     delay = _gather_final(ad, act_lens, label_lens)
     total = prob + delay_scale * delay
-    res = (lp_blank, lp_emit, alphas, ll, ad, delay)
+    res = (lp_blank, lp_emit, lse, alphas, ll, ad, delay)
     return total, prob, delay, res
 
 
@@ -186,7 +186,7 @@ def _vjp_fwd(acts, labels, act_lens, label_lens, delay_values,
 
 def _vjp_bwd(delay_scale, blank, temperature, saved, cots):
     (acts, labels, act_lens, label_lens, delay_values,
-     lp_blank, lp_emit, alphas, ll, ad, delay) = saved
+     lp_blank, lp_emit, lse, alphas, ll, ad, delay) = saved
     ct, cp, cd = cots
     B, T, U, V = acts.shape
 
@@ -241,7 +241,10 @@ def _vjp_bwd(delay_scale, blank, temperature, saved, cots):
     s_b = w_prob * e_b_p - w_delay * e_b * c0
     s_y = w_prob * e_y_p - w_delay * e_y * c1
 
-    probs = jax.nn.softmax(acts.astype(jnp.float32), axis=-1)
+    # posteriors from the saved lse: exp(a - lse) == softmax(a), but XLA
+    # fuses the exp into the grad expression below instead of materializing
+    # a second f32 [B,T,U,V] pass (no max/sum re-reduction either)
+    probs = jnp.exp(acts.astype(jnp.float32) - lse[..., None])
     lab_onehot = jax.nn.one_hot(labels, V, dtype=probs.dtype)
     lab_onehot = jnp.pad(lab_onehot, ((0, 0), (0, 1), (0, 0)))
     blank_onehot = jax.nn.one_hot(jnp.full((1,), blank), V,

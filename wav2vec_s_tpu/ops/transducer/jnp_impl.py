@@ -49,14 +49,34 @@ def _affine_prefix(a, b, axis):
     return lax.associative_scan(combine, (a, b), axis=axis)[1]
 
 
+def _lattice_lse(acts):
+    """Stable logsumexp over the vocab axis, f32 [B,T,U].
+
+    The lattice only ever reads two columns of the normalized log-probs
+    (blank + the next label), so normalizing the full [B,T,U,V] tensor in
+    f32 — 2x its bf16 activation size in HBM writes, plus the layout
+    copies XLA inserts around it — is pure waste; reduce to lse once and
+    gather raw logits instead (profiled at ~15% of the fine-tune step).
+    """
+    a32 = acts.astype(jnp.float32)
+    m = jnp.max(a32, axis=-1)
+    return m + jnp.log(jnp.sum(jnp.exp(a32 - m[..., None]), axis=-1))
+
+
+def _lattice_log_probs_lse(acts, labels, blank):
+    """-> (lp_blank [B,T,U], lp_emit [B,T,U], lse [B,T,U])."""
+    lse = _lattice_lse(acts)
+    lp_blank = acts[..., blank].astype(jnp.float32) - lse
+    emit = jnp.take_along_axis(
+        acts[:, :, :-1, :], labels[:, None, :, None].astype(jnp.int32),
+        axis=-1)[..., 0].astype(jnp.float32)
+    lp_emit = jnp.pad(emit - lse[:, :, :-1], ((0, 0), (0, 0), (0, 1)))
+    return lp_blank, lp_emit, lse
+
+
 def _lattice_log_probs(acts, labels, blank):
     """-> (lp_blank [B,T,U], lp_emit [B,T,U]); emit col U-1 is padding."""
-    logp = jax.nn.log_softmax(acts.astype(jnp.float32), axis=-1)
-    lp_blank = logp[..., blank]
-    emit = jnp.take_along_axis(
-        logp[:, :, :-1, :], labels[:, None, :, None].astype(jnp.int32),
-        axis=-1)[..., 0]
-    lp_emit = jnp.pad(emit, ((0, 0), (0, 0), (0, 1)))
+    lp_blank, lp_emit, _ = _lattice_log_probs_lse(acts, labels, blank)
     return lp_blank, lp_emit
 
 

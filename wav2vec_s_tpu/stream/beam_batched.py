@@ -149,9 +149,21 @@ class BatchedBeamStreamingDecoder:
             jk = tuple(k[:cap] for k in jk)
             jv = tuple(v[:cap] for v in jv)
             N, _, U_blk = prefixes.shape
-            lm0 = caat_step.lm_prefill(params, caat,
-                                       prefixes.reshape(N * B, U_blk),
-                                       nlens.reshape(N * B), U_blk)
+            # narrowed prefill: at chunk entry only the first ``inter_beam``
+            # rows per stream are live (decode init, ``_host_merge_chunk``'s
+            # keep list, and ``_reseed_best`` all seed rows [0, IB) and set
+            # every other score to -inf), so the full-prefix LM recompute —
+            # the beam block's dominant FLOPs — runs on N*IB rows and the
+            # dead rows borrow row IB-1's cache (their -inf scores keep
+            # them out of every top-k/pool reduction; the first iteration's
+            # ``lm_reorder`` gather re-points them at live origins anyway)
+            IB = min(self.inter_beam, B)
+            lm_small = caat_step.lm_prefill(
+                params, caat, prefixes[:, :IB].reshape(N * IB, U_blk),
+                nlens[:, :IB].reshape(N * IB), U_blk)
+            rows0 = (jnp.arange(N)[:, None] * IB +
+                     jnp.minimum(jnp.arange(B)[None, :], IB - 1)).reshape(-1)
+            lm0 = caat_step.lm_reorder(lm_small, rows0)
             pool_t = jnp.full((N, 2 * B, U_blk), pad_id, jnp.int32)
             pool_s = jnp.full((N, 2 * B), NINF)
             lengths = nlens.astype(jnp.float32) - 1.0

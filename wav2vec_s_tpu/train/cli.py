@@ -77,6 +77,8 @@ def build_pretrain(cfg: TrainConfig):
 
 
 def build_caat(cfg: TrainConfig):
+    if cfg.data.features == "text":
+        return build_text_caat(cfg)
     manifest = read_s2t_manifest(cfg.data.train_manifest, cfg.data.audio_root)
     tgt_dict = Dictionary.load(cfg.data.vocab)
     tokenizer = build_tokenizer(cfg.data.tokenizer, cfg.data.spm_model or None,
@@ -137,6 +139,48 @@ def build_caat(cfg: TrainConfig):
             params = merged
         params = _apply_pretrained_encoder(cfg, params, model_cfg)
         return params
+
+    return manifest, batcher, model, make_loss, init_params
+
+
+def build_text_caat(cfg: TrainConfig):
+    """Simultaneous TEXT translation with the attention transducer
+    (``run.task: caat`` + ``data.features: text``) — the reference's text
+    side of the CAAT family (rain/models/caat_transformer.py text encoder,
+    trained via rain/tasks/dropout_translation.py over fairseq bitext with
+    BPE dropout).  Manifest: tsv with src_text/tgt_text columns or a
+    ``src.txt,tgt.txt`` pair; block contexts count TOKEN positions."""
+    from wav2vec_s_tpu.data import TextBatcher, read_text_manifest
+    from wav2vec_s_tpu.models.text_caat import TextCaatModel
+
+    manifest = read_text_manifest(cfg.data.train_manifest)
+    tgt_dict = Dictionary.load(cfg.data.vocab)
+    src_dict = (Dictionary.load(cfg.data.src_vocab)
+                if cfg.data.src_vocab else None)
+    tokenizer = build_tokenizer(cfg.data.tokenizer,
+                                cfg.data.spm_model or None,
+                                cfg.data.bpe_dropout)
+    batcher = TextBatcher(manifest, tgt_dict, tokenizer, src_dict=src_dict)
+    model_cfg = Wav2Vec2Config(
+        main_context=cfg.context.main_context,
+        right_context=cfg.context.right_context,
+        context_type="constant", **cfg.model)
+    caat_cfg = CaatConfig(vocab_size=len(tgt_dict), **cfg.caat)
+    model = TextCaatModel(model_cfg, caat_cfg,
+                          src_vocab_size=len(src_dict) if src_dict else 0)
+
+    def make_loss(mc, rc, downsample=None):
+        return make_caat_loss_fn(model, caat_cfg, mc, rc,
+                                 downsample=downsample)
+
+    def init_params(batch):
+        tgt = batch["targets"]
+        prev = np.concatenate(
+            [np.full((tgt.shape[0], 1), caat_cfg.bos, tgt.dtype), tgt], 1)
+        rngs = {n: jax.random.PRNGKey(i) for i, n in enumerate(
+            ["params", "dropout", "rand_pos"])}
+        variables = model.init(rngs, batch["source"], prev, train=False)
+        return variables["params"]
 
     return manifest, batcher, model, make_loss, init_params
 
@@ -393,6 +437,11 @@ def _train(cfg: TrainConfig, mesh, devices):
             vsizes = np.minimum(np.asarray(vman.sizes),
                                 cfg.data.max_sample_size)
             vbatcher = dataclasses_replace_manifest(batcher, vman)
+        elif cfg.data.features == "text":
+            from wav2vec_s_tpu.data import read_text_manifest
+            vman = read_text_manifest(cfg.data.valid_manifest)
+            vsizes = np.asarray(vman.n_frames)
+            vbatcher = dataclasses_replace_manifest(batcher, vman)
         else:
             vman = read_s2t_manifest(cfg.data.valid_manifest,
                                      cfg.data.audio_root)
@@ -626,6 +675,16 @@ def dataclasses_replace_manifest(batcher, manifest):
         from wav2vec_s_tpu.data.transforms import TFMask
         new = _dc.replace(new, transforms=tuple(
             t for t in new.transforms if not isinstance(t, TFMask)))
+    # ... and BPE dropout (text family trains with sampled segmentations,
+    # validates deterministic — rain dropout_translation eval path)
+    for attr in ("tokenizer", "src_tokenizer"):
+        tok = getattr(new, attr, None)
+        if tok is not None and getattr(tok, "bpe_dropout", 0.0) > 0:
+            import copy
+
+            clean = copy.copy(tok)
+            clean.bpe_dropout = 0.0
+            new = _dc.replace(new, **{attr: clean})
     return new
 
 

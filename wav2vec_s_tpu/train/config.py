@@ -32,8 +32,10 @@ class DataConfig:
     num_buckets: int = 10
     seed: int = 1
     task_type: str = "st"              # CAAT: st | asr
+    src_vocab: str = ""                # text family: separate source dict
     features: str = "raw"              # raw waveform | fbank (log-mel, the
-    # rain fbank model family: tasks/transducer_task.py)
+    # rain fbank model family: tasks/transducer_task.py) | text (bitext
+    # simultaneous MT: rain dropout_translation + caat_transformer)
     specaugment: bool = True           # fbank-only: TFMask during training
     # (rain audio_encoder.py TFMask; validation always runs without it)
 
