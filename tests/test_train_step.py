@@ -235,3 +235,26 @@ def test_remat_policies_match_plain_update():
                         jax.tree_util.tree_leaves(base_state.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6, rtol=1e-5)
+
+
+def test_flat_optimizer_matches_tree_update():
+    """The fused (raveled) optimizer path must produce the same params,
+    grad norm, and skip behavior as the per-leaf tree path."""
+    model, state, batch, opt = _make_state_and_batch()
+    loss_fn = make_pretrain_loss_fn(model, main_context=4, right_context=2)
+    rng = jax.random.PRNGKey(3)
+
+    tree_step = jax.jit(make_train_step(loss_fn, opt, flat_optimizer=False))
+    flat_step = jax.jit(make_train_step(loss_fn, opt, flat_optimizer=True))
+    ts = TrainState.create(state.params, opt, flat_optimizer=False)
+    fs = TrainState.create(state.params, opt, flat_optimizer=True)
+    for i in range(3):
+        ts, tlogs = tree_step(ts, batch, jax.random.fold_in(rng, i))
+        fs, flogs = flat_step(fs, batch, jax.random.fold_in(rng, i))
+    np.testing.assert_allclose(float(tlogs["grad_norm"]),
+                               float(flogs["grad_norm"]), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ts.params),
+            jax.tree_util.tree_leaves_with_path(fs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7, err_msg=str(pa))

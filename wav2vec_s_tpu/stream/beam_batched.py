@@ -204,9 +204,17 @@ class BatchedBeamStreamingDecoder:
                                    expand)
                 normed = norm(expand, lengths2[:, :, None],
                               is_end[:, None, None])
-                top_v, top_i = jax.lax.top_k(normed.reshape(N, B * V), B)
-                rows = top_i // V
-                toks = (top_i % V).astype(jnp.int32)
+                # exact two-stage top-B of the B*V expansions: lax.top_k on
+                # [N, B*V] lowers to a FULL 50k-element sort per stream per
+                # iteration (profiled at ~30% of the beam corpus decode);
+                # per-row approx_max_k (TPU PartialReduce, exact at
+                # recall 1.0) + a B^2-element merge is the same argmax set
+                v1, i1 = jax.lax.approx_max_k(normed, B, recall_target=1.0)
+                top_v, ci = jax.lax.top_k(v1.reshape(N, B * B), B)
+                rows = ci // B
+                toks = jnp.take_along_axis(
+                    i1.reshape(N, B * B), ci, axis=1).astype(jnp.int32)
+                top_i = rows * V + toks
                 nx_prefix = jnp.take_along_axis(prefixes, rows[..., None], 1)
                 nx_nlens = jnp.take_along_axis(nlens, rows, 1)
                 nx_scores = jnp.take_along_axis(expand.reshape(N, B * V),

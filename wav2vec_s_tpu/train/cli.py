@@ -348,7 +348,11 @@ def _train(cfg: TrainConfig, mesh, devices):
 
     first = batcher.collate(batches[0][:2])
     params = init_params(first)
-    state = TrainState.create(params, optimizer)
+    # flat (fused) optimizer: one raveled update instead of per-leaf tree
+    # maps — an option for ZeRO experiments; measured slower than the tree
+    # path at base dims (see TrainState.create), so off unless requested
+    flat_opt = run.flat_optimizer and not run.fsdp
+    state = TrainState.create(params, optimizer, flat_optimizer=flat_opt)
 
     # sharded training state: ZeRO-1 optimizer-state sharding (fairseq
     # optim/shard.py OSS) and FSDP parameter sharding
@@ -367,7 +371,8 @@ def _train(cfg: TrainConfig, mesh, devices):
             jax.device_put, state.opt_state, o_sh))
 
     mgr = CheckpointManager(run.save_dir, keep_last=run.keep_last,
-                            keep_best=run.keep_best)
+                            keep_best=run.keep_best,
+                            async_save=run.async_checkpoints)
     if run.restore_from or mgr.latest_step() is not None:
         src = CheckpointManager(run.restore_from) if run.restore_from else mgr
         restored, meta = src.restore(template=state)
@@ -414,7 +419,8 @@ def _train(cfg: TrainConfig, mesh, devices):
                     make_train_step(make_loss(mc, rc, ds), optimizer,
                                     accum_steps=run.update_freq,
                                     grad_mask=grad_mask,
-                                    remat_policy=run.remat)),
+                                    remat_policy=run.remat,
+                                    flat_optimizer=flat_opt)),
                 donate_argnums=0)
         return steps[(mc, rc, ds)]
 
@@ -658,6 +664,7 @@ def _train(cfg: TrainConfig, mesh, devices):
         except RuntimeError:
             pass
     mgr.save(host_step, state, extra={"iterator": itr.state_dict()})
+    mgr.wait()                         # commit any in-flight async write
     print(f"training done at step {host_step}", file=sys.stderr)
 
 

@@ -54,6 +54,10 @@ class RunConfig:
     validate_interval_updates: int = 5000
     keep_last: int = 3
     keep_best: int = 0
+    # write checkpoints on a background thread (the reference's iopath
+    # async path, checkpoint_utils.py:427-455); save() returns once arrays
+    # are staged to host, the tensorstore write overlaps training
+    async_checkpoints: bool = True
     patience: int = 0                  # early stop on stagnant valid loss
     seed: int = 1
     num_devices: int = 0               # 0 = all visible devices (data axis)
@@ -74,6 +78,9 @@ class RunConfig:
     # distributed/fully_sharded_data_parallel.py)
     zero: bool = False                 # ZeRO-1: shard optimizer state
     fsdp: bool = False                 # shard parameters over the data axis
+    flat_optimizer: bool = False       # raveled single-vector optimizer
+    # update (exact ZeRO-1 sharding; measured slower single-chip — see
+    # train/step.py::TrainState.create)
     # context parallelism: shard the encoder's time axis over `seq`-many
     # devices (mesh axis "seq"; model.seq_axis is set automatically).  The
     # reference has no sequence/context parallelism (SURVEY §2.7).

@@ -25,15 +25,48 @@ from flax import struct
 LossFn = Callable[..., tuple]   # (params, batch, rng, step) -> (loss_sum, sample_size, logs)
 
 
+def ravel_padded(tree, multiple: int = 64):
+    """``ravel_pytree`` padded to a multiple (ZeRO-1 divisibility over the
+    data axis; the pad tail carries zero grads so the update is a no-op
+    there).  Returns (flat [P], unravel)."""
+    from jax.flatten_util import ravel_pytree
+
+    flat, unravel = ravel_pytree(tree)
+    pad = (-flat.size) % multiple
+    if pad:
+        size = flat.size
+        return jnp.pad(flat, (0, pad)), lambda v: unravel(v[:size])
+    return flat, unravel
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
 
     @classmethod
-    def create(cls, params, optimizer):
+    def create(cls, params, optimizer, flat_optimizer: bool = False):
+        """``flat_optimizer``: hold optimizer state over ONE raveled
+        parameter vector instead of the param tree — the whole
+        clip/adam/decay/schedule chain runs as ~10 large fusions instead
+        of 3-4 tiny ones per leaf.  Must match
+        ``make_train_step(flat_optimizer=)``.
+
+        MEASURED NEGATIVE at base dims on one v5e chip (off by default):
+        the per-leaf launch overhead it removes (~13 ms/step of scalar
+        fusions) is outweighed by the ravel/unravel traffic it adds
+        (4 extra full passes over 730 MB of f32 params/grads plus a
+        layout-changing reshape, ~+20 ms/step; CAAT fine-tune 11.5 ->
+        9.6 updates/s).  Kept as an option for sharded-optimizer
+        experiments: the flat vector ZeRO-shards exactly (padded to a
+        multiple of 64) where per-leaf sharding replicates odd leaves.
+        """
+        if flat_optimizer:
+            opt_state = optimizer.init(ravel_padded(params)[0])
+        else:
+            opt_state = optimizer.init(params)
         return cls(step=jnp.zeros((), jnp.int32), params=params,
-                   opt_state=optimizer.init(params))
+                   opt_state=opt_state)
 
 
 def tree_add(a, b):
@@ -57,7 +90,8 @@ REMAT_POLICIES = {
 def make_train_step(loss_fn: LossFn, optimizer: optax.GradientTransformation,
                     accum_steps: int = 1, skip_nonfinite: bool = True,
                     grad_mask: Optional[Callable] = None,
-                    remat_policy: str = "none"):
+                    remat_policy: str = "none",
+                    flat_optimizer: bool = False):
     """Build the jitted update.
 
     ``loss_fn(params, microbatch, rng, step)`` must return a *summed* loss,
@@ -103,24 +137,45 @@ def make_train_step(loss_fn: LossFn, optimizer: optax.GradientTransformation,
 
         # normalize summed grads by global sample count
         denom = jnp.maximum(n, 1.0)
-        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
         if grad_mask is not None:
             grads = grad_mask(grads, step)
 
-        gnorm = optax.global_norm(grads)
-        updates, new_opt = optimizer.update(grads, state.opt_state,
-                                            state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        if flat_optimizer:
+            # one raveled vector through the whole optimizer chain: the
+            # per-leaf tree maps (normalize, norm, clip, adam, decay, lr,
+            # apply, skip) collapse from ~1500 tiny fusions to ~10 large
+            # ones (the launch overhead was ~30% of the fine-tune step)
+            flat_g, _ = ravel_padded(grads)
+            flat_p, unravel = ravel_padded(state.params)
+            flat_g = flat_g / denom
+            gnorm = jnp.linalg.norm(flat_g)
+            updates, new_opt = optimizer.update(flat_g, state.opt_state,
+                                                flat_p)
+            flat_new = flat_p + updates
+            if skip_nonfinite:
+                ok = jnp.isfinite(gnorm)
+                flat_new = jnp.where(ok, flat_new, flat_p)
+                new_opt = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old), new_opt,
+                    state.opt_state)
+                logs = dict(logs, skipped=(~ok).astype(jnp.float32))
+            new_params = unravel(flat_new)
+        else:
+            grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+            gnorm = optax.global_norm(grads)
+            updates, new_opt = optimizer.update(grads, state.opt_state,
+                                                state.params)
+            new_params = optax.apply_updates(state.params, updates)
 
-        if skip_nonfinite:
-            ok = jnp.isfinite(gnorm)
-            new_params = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(ok, new, old), new_params,
-                state.params)
-            new_opt = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(ok, new, old), new_opt,
-                state.opt_state)
-            logs = dict(logs, skipped=(~ok).astype(jnp.float32))
+            if skip_nonfinite:
+                ok = jnp.isfinite(gnorm)
+                new_params = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old), new_params,
+                    state.params)
+                new_opt = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old), new_opt,
+                    state.opt_state)
+                logs = dict(logs, skipped=(~ok).astype(jnp.float32))
 
         logs = dict(logs, loss_total=loss, sample_size=n, grad_norm=gnorm)
         new_state = state.replace(step=step + 1, params=new_params,
