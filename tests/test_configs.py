@@ -19,14 +19,14 @@ def test_config_preset_parses(path, tmp_path):
     p = tmp_path / path.name
     p.write_text(text)
     cfg = load_config(str(p))
-    assert cfg.run.task in ("pretrain", "caat", "s2s")
+    assert cfg.run.task in ("pretrain", "caat", "s2s", "ctc")
 
     # every model/caat key must be a real dataclass field
     Wav2Vec2Config(
         context_type=cfg.context.context_type,
         main_context=cfg.context.main_context,
         right_context=cfg.context.right_context, **cfg.model)
-    if cfg.run.task != "pretrain":
+    if cfg.run.task not in ("pretrain", "ctc"):
         CaatConfig(vocab_size=16, **cfg.caat)
     # optimizer + schedule construct (tri_stage phase ratios etc.)
     build_optimizer(cfg.optim)

@@ -30,11 +30,19 @@ def _dir(d) -> Path:
 
 class CheckpointManager:
     def __init__(self, directory, keep_last: int = 3,
-                 keep_best: int = 0, maximize_metric: bool = False):
+                 keep_best: int = 0, maximize_metric: bool = False,
+                 async_save: bool = False):
         self.dir = _dir(directory)
         self.keep_last = keep_last
         self.keep_best = keep_best
         self.maximize = maximize_metric
+        # async_save: overlap the tensorstore write with the next train
+        # steps (fairseq's iopath async writes, checkpoint_utils.py:427-455).
+        # meta.json doubles as the commit marker — it is written only after
+        # the orbax write finishes, so an interrupted async save leaves a
+        # step dir that all_steps()/restore() ignore.
+        self.async_save = async_save
+        self._pending: Optional[Dict[str, Any]] = None
         self._ckpt = ocp.StandardCheckpointer()
 
     # -- paths ----------------------------------------------------------
@@ -43,7 +51,8 @@ class CheckpointManager:
 
     def all_steps(self) -> List[int]:
         return sorted(int(p.name.split("_")[1]) for p in
-                      self.dir.glob("step_*") if p.is_dir())
+                      self.dir.glob("step_*")
+                      if p.is_dir() and (p / "meta.json").exists())
 
     def latest_step(self) -> Optional[int]:
         steps = self.all_steps()
@@ -52,18 +61,31 @@ class CheckpointManager:
     # -- save / restore -------------------------------------------------
     def save(self, step: int, state, extra: Optional[Dict[str, Any]] = None,
              metric: Optional[float] = None):
+        # at most one write in flight: commit the previous one first
+        self.wait()
         path = self._step_dir(step)
         if path.exists():
             shutil.rmtree(path)
         self._ckpt.save(path.resolve() / "state", state)
-        # synchronous semantics: a later save/prune of the same step must not
-        # race the async tensorstore write
-        self._ckpt.wait_until_finished()
         meta = {"step": step, "metric": metric, "extra": extra or {}}
-        (path / "meta.json").write_text(json.dumps(meta))
-        self._prune()
+        if self.async_save:
+            self._pending = meta
+        else:
+            self._ckpt.wait_until_finished()
+            (path / "meta.json").write_text(json.dumps(meta))
+            self._prune()
+
+    def wait(self):
+        """Block until any in-flight async write has committed."""
+        self._ckpt.wait_until_finished()
+        if self._pending is not None:
+            meta, self._pending = self._pending, None
+            path = self._step_dir(meta["step"])
+            (path / "meta.json").write_text(json.dumps(meta))
+            self._prune()
 
     def restore(self, step: Optional[int] = None, template=None):
+        self.wait()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None, None

@@ -12,6 +12,8 @@ Subcommands re-providing the reference's eval entry points:
   stdin-driven streaming decode, words printed as they are emitted
 - ``eval-lm``  ~ fairseq-eval-lm (fairseq_cli/eval_lm.py): perplexity of
   the decoupled CAAT decoder as a language model
+- ``ctc-decode`` ~ fairseq's argmax/viterbi WER eval for ``Wav2VecCtc``
+  checkpoints trained with ``run.task: ctc``
 
 Usage:
   python -m wav2vec_s_tpu.eval.cli average --ckpt-dir D --k 5 --out avg.npz
@@ -236,6 +238,65 @@ def cmd_generate(args):
     print(json.dumps({args.metric.upper(): score, "n": n}))
 
 
+def cmd_ctc_decode(args):
+    """Batched offline CTC decode + WER over a manifest — the eval side of
+    the ``run.task: ctc`` fine-tune (fairseq's viterbi/argmax WER path for
+    Wav2VecCtc, wav2vec2_asr.py:154 + criterions/ctc.py; blank = bos)."""
+    from wav2vec_s_tpu.data import Dictionary, read_s2t_manifest
+    from wav2vec_s_tpu.data.audio import instance_normalize, read_audio
+    from wav2vec_s_tpu.data.batching import bucket_for, length_buckets
+    from wav2vec_s_tpu.data.tokenizer import build_tokenizer
+    from wav2vec_s_tpu.eval.generator import make_ctc_greedy_decoder
+    from wav2vec_s_tpu.eval.wer import corpus_wer
+    from wav2vec_s_tpu.models import Wav2Vec2Config
+    from wav2vec_s_tpu.models.asr import Wav2VecCtc
+    from wav2vec_s_tpu.stream.searcher import detok_pieces
+    from wav2vec_s_tpu.train.config import load_config
+
+    cfg = load_config(args.config, args.overrides)
+    tgt_dict = Dictionary.load(cfg.data.vocab)
+    model_cfg = Wav2Vec2Config(
+        main_context=cfg.context.main_context,
+        right_context=cfg.context.right_context,
+        context_type="constant", **cfg.model)
+    model = Wav2VecCtc(model_cfg, vocab_size=len(tgt_dict))
+    params = _load_params(args.ckpt_dir, args.average_k)
+    decode = make_ctc_greedy_decoder(
+        model, tgt_dict, cfg.context.main_context,
+        cfg.context.right_context, blank=tgt_dict.bos())
+    tokenizer = None
+    if cfg.data.tokenizer != "word":
+        tokenizer = build_tokenizer(cfg.data.tokenizer,
+                                    cfg.data.spm_model or None)
+
+    man = read_s2t_manifest(args.manifest, cfg.data.audio_root)
+    n = min(len(man.ids), args.max_instances or len(man.ids))
+    # length-sorted batches over a geometric pad grid bound recompiles
+    order = sorted(range(n), key=lambda i: man.n_frames[i])
+    buckets = length_buckets(int(max(man.n_frames[i] for i in order)),
+                             multiple=640)
+    hyps, refs = [None] * n, [None] * n
+    for lo in range(0, n, args.batch_size):
+        idx = order[lo:lo + args.batch_size]
+        wavs = [read_audio(man.audio_paths[i]) for i in idx]
+        if cfg.data.normalize:
+            wavs = [instance_normalize(w) for w in wavs]
+        S = bucket_for(max(len(w) for w in wavs), buckets)
+        src = np.zeros((len(idx), S), np.float32)
+        pad = np.ones((len(idx), S), bool)
+        for r, w in enumerate(wavs):
+            src[r, :len(w)] = w[:S]
+            pad[r, :len(w)] = False
+        pfx, lens = decode(params, src, pad)
+        pfx, lens = np.asarray(pfx), np.asarray(lens)
+        for r, i in enumerate(idx):
+            hyps[i] = detok_pieces(tgt_dict, tokenizer, pfx[r, 1:lens[r]])
+            refs[i] = man.src_texts[i] or man.tgt_texts[i]
+            print(json.dumps({"id": man.ids[i], "hypo": hyps[i],
+                              "ref": refs[i]}))
+    print(json.dumps({"WER": corpus_wer(hyps, refs), "n": n}))
+
+
 def cmd_interactive(args):
     """Interactive streaming decode (fairseq_cli/interactive.py twin).
 
@@ -385,6 +446,8 @@ def main(argv=None):
     common(pg)
     pb = sub.add_parser("batch-decode")
     common(pb)
+    pc = sub.add_parser("ctc-decode")
+    common(pc)
 
     pi = sub.add_parser("interactive")
     common(pi, manifest=False)
@@ -401,7 +464,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     {"average": cmd_average, "simul": cmd_simul,
      "generate": cmd_generate, "interactive": cmd_interactive,
-     "eval-lm": cmd_eval_lm,
+     "eval-lm": cmd_eval_lm, "ctc-decode": cmd_ctc_decode,
      "batch-decode": cmd_batch_decode}[args.cmd](args)
 
 

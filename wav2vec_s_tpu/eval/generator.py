@@ -330,6 +330,43 @@ def make_s2s_greedy_decoder(model, vocab, main_context=None,
     return decode
 
 
+def make_ctc_greedy_decoder(model, vocab, main_context=None,
+                            right_context=None, blank: int = 0):
+    """Jitted batched CTC best-path decode for ``Wav2VecCtc`` — argmax,
+    collapse repeats, drop blanks (fairseq's viterbi/argmax WER path in
+    criterions/ctc.py), entirely in-graph: kept tokens are compacted left
+    with a stable argsort instead of a host loop.
+
+    Same return contract as the other validation decoders: (prefixes,
+    lens) with a sentinel at ``prefixes[:, 0]`` so callers detokenize
+    ``prefixes[r, 1:lens[r]]``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    eos = vocab.eos()
+
+    @jax.jit
+    def decode(params, source, padding_mask):
+        logits, lpad = model.apply(
+            {"params": params}, source, padding_mask=padding_mask,
+            main_context=main_context, right_context=right_context,
+            train=False)
+        ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)       # [B, T]
+        prev = jnp.concatenate(
+            [jnp.full_like(ids[:, :1], -1), ids[:, :-1]], axis=1)
+        keep = (~lpad) & (ids != blank) & (ids != prev)
+        # stable sort on "dropped?" compacts kept tokens to the left in
+        # original time order
+        order = jnp.argsort(~keep, axis=1, stable=True)
+        toks = jnp.take_along_axis(ids, order, axis=1)
+        lens = jnp.sum(keep, axis=1).astype(jnp.int32) + 1
+        sentinel = jnp.full((ids.shape[0], 1), eos, toks.dtype)
+        return jnp.concatenate([sentinel, toks], axis=1), lens
+
+    return decode
+
+
 def transducer_offline_decode(searcher, audio: np.ndarray,
                               intra_beam: int = 5, max_steps: int = 200):
     """Offline CAAT decode = one streaming search over the whole utterance

@@ -274,6 +274,57 @@ def build_s2s(cfg: TrainConfig):
     return manifest, batcher, model, make_loss, init_params
 
 
+def build_ctc(cfg: TrainConfig):
+    """CTC fine-tuning on the (blockwise) encoder — the reference's
+    fork-shipped ``Wav2VecCtc`` head (fairseq wav2vec2_asr.py:154, criterion
+    criterions/ctc.py, blank = bos): the classic offline-ASR fine-tune
+    behind the paper's offline WER numbers.  Reuses the S2T manifest/batcher
+    with ``task_type: asr`` transcripts as targets."""
+    from wav2vec_s_tpu.models.asr import Wav2VecCtc
+    from wav2vec_s_tpu.train.recipes import make_ctc_loss_fn
+
+    manifest = read_s2t_manifest(cfg.data.train_manifest, cfg.data.audio_root)
+    tgt_dict = Dictionary.load(cfg.data.vocab)
+    tokenizer = build_tokenizer(cfg.data.tokenizer, cfg.data.spm_model or None,
+                                cfg.data.bpe_dropout)
+    audio_buckets = length_buckets(cfg.data.max_sample_size, multiple=640)
+    batcher = CaatBatcher(manifest, tgt_dict, tokenizer, audio_buckets,
+                          task_type=cfg.data.task_type,
+                          normalize=cfg.data.normalize)
+    model_cfg = Wav2Vec2Config(
+        main_context=cfg.context.main_context,
+        right_context=cfg.context.right_context,
+        context_type="constant", **cfg.model)
+    model = Wav2VecCtc(model_cfg, vocab_size=len(tgt_dict),
+                       final_dropout=cfg.run.final_dropout)
+
+    def make_loss(mc, rc, downsample=None):
+        return make_ctc_loss_fn(model, pad=tgt_dict.pad(), eos=tgt_dict.eos(),
+                                main_context=mc, right_context=rc,
+                                blank=tgt_dict.bos())
+
+    def init_params(batch):
+        rngs = {n: jax.random.PRNGKey(i) for i, n in enumerate(
+            ["params", "dropout", "layerdrop"])}
+        variables = model.init(rngs, batch["source"], train=False)
+        params = variables["params"]
+        if cfg.run.w2v2_model_path:
+            from wav2vec_s_tpu.checkpoint import (
+                load_torch_checkpoint, import_wav2vec2_params)
+            sd = load_torch_checkpoint(cfg.run.w2v2_model_path)
+            w2v = import_wav2vec2_params(sd["model"], model_cfg)
+            merged = dict(params)
+            enc = dict(params["encoder"])
+            for k, v in w2v.items():
+                enc[k] = v
+            merged["encoder"] = enc
+            params = merged
+        params = _apply_pretrained_encoder(cfg, params, model_cfg)
+        return params
+
+    return manifest, batcher, model, make_loss, init_params
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="wav2vec_s_tpu trainer")
     parser.add_argument("--config", default=None)
@@ -326,6 +377,9 @@ def _train(cfg: TrainConfig, mesh, devices):
                            cfg.data.max_sample_size)
     elif run.task == "s2s":
         manifest, batcher, model, make_loss, init_params = build_s2s(cfg)
+        sizes = np.asarray(manifest.n_frames)
+    elif run.task == "ctc":
+        manifest, batcher, model, make_loss, init_params = build_ctc(cfg)
         sizes = np.asarray(manifest.n_frames)
     else:
         manifest, batcher, model, make_loss, init_params = build_caat(cfg)
@@ -430,7 +484,8 @@ def _train(cfg: TrainConfig, mesh, devices):
     # compiled executable per step size (same pattern as the (mc, rc)
     # context buckets).
     sampled_steps = None
-    if run.task not in ("pretrain", "s2s") and model.cfg.step_mode == "random":
+    if run.task not in ("pretrain", "s2s", "ctc") \
+            and model.cfg.step_mode == "random":
         sampled_steps = model.cfg.sampled_steps
 
     # validation: eval-mode loss over the valid manifest (patience early stop
@@ -467,17 +522,21 @@ def _train(cfg: TrainConfig, mesh, devices):
             # --best-checkpoint-metric accuracy --maximize (offline ASR)
             return loss, n, logs.get("n_correct", loss * 0.0)
 
-        # generation-based validation BLEU (rain w2v2_s2s_task.py:199-236)
+        # generation-based validation BLEU (rain w2v2_s2s_task.py:199-236);
+        # CTC runs report argmax-decode WER instead (fairseq
+        # criterions/ctc.py eval_wer path)
         vdecode = vtexts = None
-        if run.eval_bleu and run.task != "pretrain" \
-                and jax.process_count() == 1:
+        if (run.eval_bleu or (run.eval_wer and run.task == "ctc")) \
+                and run.task != "pretrain" and jax.process_count() == 1:
             # BLEU decode reads hypotheses back row-by-row, which needs a
             # fully-addressable array; multi-host runs validate loss-only
             from wav2vec_s_tpu.eval.generator import (
-                make_offline_greedy_decoder, make_s2s_greedy_decoder)
+                make_ctc_greedy_decoder, make_offline_greedy_decoder,
+                make_s2s_greedy_decoder)
             tgt_dict = vbatcher.tgt_dict
-            make_dec = (make_s2s_greedy_decoder if run.task == "s2s"
-                        else make_offline_greedy_decoder)
+            make_dec = {"s2s": make_s2s_greedy_decoder,
+                        "ctc": make_ctc_greedy_decoder}.get(
+                            run.task, make_offline_greedy_decoder)
             vdecode = make_dec(model, tgt_dict, mc0, rc0)
             vtexts = (vman.src_texts if cfg.data.task_type == "asr"
                       else vman.tgt_texts)
@@ -519,6 +578,9 @@ def _train(cfg: TrainConfig, mesh, devices):
         vacc = ncorr / max(n, 1.0) if run.task == "s2s" else None
         if vdecode is None:
             return vloss, None, vacc
+        if run.task == "ctc":
+            from wav2vec_s_tpu.eval.wer import corpus_wer
+            return vloss, corpus_wer(hyps, refs), vacc
         from wav2vec_s_tpu.eval.bleu import corpus_bleu
         return vloss, corpus_bleu(hyps, refs), vacc
 
@@ -621,18 +683,20 @@ def _train(cfg: TrainConfig, mesh, devices):
 
             if valid_setup is not None and run.validate_interval_updates \
                     and step_no % run.validate_interval_updates == 0:
-                vloss, vbleu, vacc = validate(state.params)
+                vloss, vscore, vacc = validate(state.params)
                 vstats = {"valid_loss": vloss}
-                if vbleu is not None:
-                    vstats["valid_bleu"] = vbleu
+                if vscore is not None:
+                    vstats["valid_wer" if run.task == "ctc"
+                           else "valid_bleu"] = vscore
                 if vacc is not None:
                     vstats["valid_accuracy"] = vacc
                 progress.log(vstats, step_no, tag="valid")
                 # patience/best track BLEU (negated: lower is better) when
-                # eval_bleu is on; s2s tracks accuracy (the reference's
-                # --best-checkpoint-metric accuracy --maximize); else loss
-                if vbleu is not None:
-                    vmetric = -vbleu
+                # eval_bleu is on — or WER directly for CTC; s2s tracks
+                # accuracy (the reference's --best-checkpoint-metric
+                # accuracy --maximize); else loss
+                if vscore is not None:
+                    vmetric = vscore if run.task == "ctc" else -vscore
                 elif vacc is not None:
                     vmetric = -vacc
                 else:

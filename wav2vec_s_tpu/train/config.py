@@ -42,10 +42,13 @@ class DataConfig:
 
 @dataclasses.dataclass
 class RunConfig:
-    task: str = "pretrain"             # pretrain | caat | s2s
+    task: str = "pretrain"             # pretrain | caat | s2s | ctc
     # s2s (offline ASR/ST seq2seq fine-tuning): label-smoothed CE
     # (--label-smoothing 0.1, train_wav2vec_s_offline_asr_base.sh)
     label_smoothing: float = 0.1
+    # ctc (offline ASR fine-tuning, fairseq wav2vec2_asr.py:154 Wav2VecCtc):
+    # dropout before the vocab projection (--final-dropout)
+    final_dropout: float = 0.0
     save_dir: str = "checkpoints"
     max_update: int = 400_000
     update_freq: int = 1
@@ -98,6 +101,9 @@ class RunConfig:
     # patience track BLEU instead of loss (rain w2v2_s2s_task.py:109-123,
     # 199-236: eval_bleu + best_checkpoint_metric=bleu)
     eval_bleu: bool = False
+    # argmax-decode WER during CTC validation; best-checkpoint + patience
+    # then track WER (fairseq criterions/ctc.py eval_wer)
+    eval_wer: bool = False
     # capture a jax.profiler trace of training steps [10, 20) into this
     # directory (the --profile hook, fairseq_cli/hydra_train.py:40-43);
     # open with TensorBoard/Perfetto/xprof

@@ -128,6 +128,34 @@ def make_s2s_loss_fn(model, caat_cfg, main_context=None, right_context=None,
     return loss_fn
 
 
+def make_ctc_loss_fn(model, pad: int, eos: int, main_context=None,
+                     right_context=None, blank: int = 0):
+    """CTC fine-tuning loss for ``Wav2VecCtc`` (fairseq criterions/ctc.py:
+    summed CTC over the encoder frames, blank = bos, sample_size =
+    ntokens).  The reference's classic offline-ASR fine-tune of a wav2vec
+    model (wav2vec2_asr.py:154 Wav2VecCtc) — the stage behind the paper's
+    offline WER table.  Targets arrive eos-terminated from ``CaatBatcher``;
+    the trailing eos is folded into the label padding (fairseq CTC targets
+    carry no eos)."""
+    from wav2vec_s_tpu.models.asr import ctc_loss
+
+    def loss_fn(params, batch, rng, step):
+        tgt = batch["targets"]
+        logits, lpad = model.apply(
+            {"params": params}, batch["source"],
+            padding_mask=batch.get("padding_mask"),
+            main_context=main_context, right_context=right_context,
+            train=True, rngs=_rng_dict(rng, S2S_RNG_NAMES))
+        tpad = (tgt == pad) | (tgt == eos)
+        loss = ctc_loss(logits, lpad, tgt.astype(jnp.int32), tpad,
+                        blank=blank)
+        ntokens = jnp.sum(~tpad).astype(jnp.float32)
+        n_frames = jnp.sum(~lpad).astype(jnp.float32)
+        return loss, (ntokens, {"nll_loss": loss, "n_frames": n_frames})
+
+    return loss_fn
+
+
 def sample_context_bucket(rng: random.Random,
                           buckets: Sequence[Tuple[int, int]]):
     """Host-side (mc, rc) draw with the EXACT reference distribution
