@@ -106,6 +106,28 @@ def test_interactive_streams_words(tiny_setup, capsys):
         assert w in hypos[uid[2:]].split()
 
 
+def test_sweep_emits_one_line_per_operating_point(tiny_setup, capsys):
+    """eval.cli sweep = the reference eval scripts' DECISION_STEP loop
+    (eval_wav2vec_s_caat_st.sh): one quality@AL record per step."""
+    from wav2vec_s_tpu.eval import cli as ecli
+
+    tsv = tiny_setup["tmp"] / "dev.tsv"
+    rows = ["id\taudio\tn_frames\ttgt_text\tsrc_text"]
+    for i, p in enumerate(tiny_setup["wavs"]):
+        ns = 16000 // 2 + 320 * i
+        rows.append(f"u{i}\t{p}\t{ns}\tguten tag\thallo du")
+    tsv.write_text("\n".join(rows) + "\n")
+    ecli.main(["sweep", "--config", str(tiny_setup["cfg"]),
+               "--ckpt-dir", str(tiny_setup["tmp"] / "ckpt"),
+               "--manifest", str(tsv), "--steps", "1,2",
+               "--decoder", "oneshot", "--batch-size", "2"])
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    assert [r["step_read_blocks"] for r in out] == [1, 2]
+    for r in out:
+        assert "BLEU" in r and "AL" in r and r["n"] == 2
+
+
 def test_eval_lm_matches_direct_nll(tiny_setup, capsys):
     import jax
     import jax.numpy as jnp

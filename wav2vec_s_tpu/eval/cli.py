@@ -14,6 +14,8 @@ Subcommands re-providing the reference's eval entry points:
   the decoupled CAAT decoder as a language model
 - ``ctc-decode`` ~ fairseq's argmax/viterbi WER eval for ``Wav2VecCtc``
   checkpoints trained with ``run.task: ctc``
+- ``sweep``    ~ the eval scripts' DECISION_STEP loop
+  (eval_wav2vec_s_caat_st.sh): batched quality@AL over operating points
 
 Usage:
   python -m wav2vec_s_tpu.eval.cli average --ckpt-dir D --k 5 --out avg.npz
@@ -201,7 +203,19 @@ def cmd_batch_decode(args):
         "AL": float(np.mean(al)) if al else 0.0,
         "audio_sec_per_sec": round(audio_sec / dt, 1),
         "n": n,
+        "step_read_blocks": args.step_read_blocks,
     }))
+
+
+def cmd_sweep(args):
+    """Quality@latency operating-point sweep: one batched decode per
+    DECISION_STEP, one JSON line each — the reference's eval loop
+    (wav2vec_s_scripts/eval/eval_wav2vec_s_caat_st.sh:3 runs a separate
+    simuleval per ``DECISION_STEP in {2,4,10,20}``; the paper's BLEU@AL /
+    WER@AL curves are exactly this table)."""
+    for srb in (int(s) for s in args.steps.split(",")):
+        args.step_read_blocks = srb
+        cmd_batch_decode(args)
 
 
 def cmd_generate(args):
@@ -448,6 +462,10 @@ def main(argv=None):
     common(pb)
     pc = sub.add_parser("ctc-decode")
     common(pc)
+    psw = sub.add_parser("sweep")
+    common(psw)
+    psw.add_argument("--steps", default="2,4,10,20",
+                     help="comma list of DECISION_STEP operating points")
 
     pi = sub.add_parser("interactive")
     common(pi, manifest=False)
@@ -465,7 +483,7 @@ def main(argv=None):
     {"average": cmd_average, "simul": cmd_simul,
      "generate": cmd_generate, "interactive": cmd_interactive,
      "eval-lm": cmd_eval_lm, "ctc-decode": cmd_ctc_decode,
-     "batch-decode": cmd_batch_decode}[args.cmd](args)
+     "batch-decode": cmd_batch_decode, "sweep": cmd_sweep}[args.cmd](args)
 
 
 if __name__ == "__main__":
