@@ -171,23 +171,32 @@ class BatchedBeamStreamingDecoder:
             def cond(c):
                 return (c[-1] < max_steps_) & ~jnp.all(c[-2])
 
+            # static column mask: pad/bos/eos are never expansion tokens
+            # (pad is dead, bos is the blank -> aliased to eos, eos only
+            # finishes paths); adding it once replaces three [N,B,V]
+            # masked-set passes per iteration
+            colmask = jnp.zeros((V,), jnp.float32).at[
+                jnp.asarray([pad_id, bos_id, eos_id])].set(NINF)
+
             def body(c):
                 (prefixes, nlens, scores, lengths, pool_t, pool_s, lm,
                  done, i) = c
-                lp = caat_step.jointer_step_beam(
+                # raw logits; log-prob = logit - lse, and every consumer
+                # below needs only a handful of columns/candidates, so the
+                # per-row lse is applied to THOSE instead of normalizing
+                # the whole [N, B, V] tensor (the log_softmax + masked-set
+                # passes were the beam body's top elementwise cost)
+                logits = caat_step.jointer_beam_logits(
                     params, caat, lm.h_last.reshape(N, B, -1), jk, jv,
                     visible)
-                lp = lp.at[..., pad_id].set(NINF)
+                lse = jax.scipy.special.logsumexp(logits, axis=-1)
                 # blank -> eos alias while the stream is open (:345-347)
-                eos_col = jnp.where(is_end[:, None], lp[..., eos_id],
-                                    lp[..., bos_id] + bias)
-                lp = lp.at[..., eos_id].set(eos_col)
-                lp = lp.at[..., bos_id].set(NINF)
+                eos_lp = jnp.where(is_end[:, None], logits[..., eos_id],
+                                   logits[..., bos_id] + bias) - lse
                 lengths2 = lengths + 1.0
 
                 # finish current paths with blank/eos into the pool
-                fin = norm(scores + lp[..., eos_id], lengths2,
-                           is_end[:, None])
+                fin = norm(scores + eos_lp, lengths2, is_end[:, None])
                 new_pt = pool_t.at[:, B:].set(prefixes)
                 new_ps = pool_s.at[:, B:].set(fin)
                 merged = _merge_identical_batched(new_pt, new_ps,
@@ -196,29 +205,37 @@ class BatchedBeamStreamingDecoder:
                 new_ps = jnp.take_along_axis(merged, order, 1)
                 new_pt = jnp.take_along_axis(new_pt, order[..., None], 1)
 
-                # expand with real tokens: top-B of B*V normed scores
-                lp = lp.at[..., eos_id].set(NINF)
-                expand = scores[:, :, None] + lp
+                # expand with real tokens: exact top-B of the B*V normed
+                # scores.  norm() is monotone in the log-prob within a
+                # beam row (same score/length offset for all V), so the
+                # per-row top-B of raw masked logits IS the per-row top-B
+                # of normed scores; extract it with B iterative argmax
+                # passes (lax.top_k / approx_max_k on a 10k axis lower to
+                # full sorts — profiled at ~15% of the beam corpus
+                # decode), then merge the B*B survivors exactly
+                masked = logits + colmask
+                cand_v, cand_i = [], []
+                for _ in range(B):
+                    cand_v.append(masked.max(-1))
+                    cand_i.append(masked.argmax(-1).astype(jnp.int32))
+                    masked = jnp.where(
+                        jnp.arange(V)[None, None] == cand_i[-1][..., None],
+                        NINF, masked)
+                cand_v = jnp.stack(cand_v, -1)              # [N, B, B]
+                cand_i = jnp.stack(cand_i, -1)
+                cand_s = scores[:, :, None] + (cand_v - lse[:, :, None])
                 # cap: prefixes at buffer limit may only finish
-                expand = jnp.where(nlens[:, :, None] >= U_blk - 1, NINF,
-                                   expand)
-                normed = norm(expand, lengths2[:, :, None],
+                cand_s = jnp.where(nlens[:, :, None] >= U_blk - 1, NINF,
+                                   cand_s)
+                normed = norm(cand_s, lengths2[:, :, None],
                               is_end[:, None, None])
-                # exact two-stage top-B of the B*V expansions: lax.top_k on
-                # [N, B*V] lowers to a FULL 50k-element sort per stream per
-                # iteration (profiled at ~30% of the beam corpus decode);
-                # per-row approx_max_k (TPU PartialReduce, exact at
-                # recall 1.0) + a B^2-element merge is the same argmax set
-                v1, i1 = jax.lax.approx_max_k(normed, B, recall_target=1.0)
-                top_v, ci = jax.lax.top_k(v1.reshape(N, B * B), B)
+                top_v, ci = jax.lax.top_k(normed.reshape(N, B * B), B)
                 rows = ci // B
-                toks = jnp.take_along_axis(
-                    i1.reshape(N, B * B), ci, axis=1).astype(jnp.int32)
-                top_i = rows * V + toks
+                toks = jnp.take_along_axis(cand_i.reshape(N, B * B), ci, 1)
                 nx_prefix = jnp.take_along_axis(prefixes, rows[..., None], 1)
                 nx_nlens = jnp.take_along_axis(nlens, rows, 1)
-                nx_scores = jnp.take_along_axis(expand.reshape(N, B * V),
-                                                top_i, 1)
+                nx_scores = jnp.take_along_axis(cand_s.reshape(N, B * B),
+                                                ci, 1)
                 nx_lengths = jnp.take_along_axis(lengths2, rows, 1)
                 n_idx = jnp.arange(N)[:, None]
                 b_idx = jnp.arange(B)[None, :]

@@ -387,15 +387,18 @@ def jointer_kv_append(jk, jv, k_new, v_new, t0):
     return jk, jv
 
 
-def jointer_step_beam(params, cfg, h_last: jnp.ndarray, jk, jv,
-                      visible: jnp.ndarray) -> jnp.ndarray:
+def jointer_beam_logits(params, cfg, h_last: jnp.ndarray, jk, jv,
+                        visible: jnp.ndarray) -> jnp.ndarray:
     """Beam-batched jointer step sharing per-stream encoder K/V.
 
     h_last: [N, B, D] LM states for B beams per stream; jk/jv: per-layer
     tuples of time-major [T_cap, N, D] (ONE copy per stream — the beams of
     a stream attend the same revealed frames, so the cache is never tiled
-    per beam); visible: [N].  Returns [N, B, V] log-probs, same math as
-    ``jointer_step``.
+    per beam); visible: [N].  Returns the [N, B, V] f32 output-projection
+    LOGITS (un-normalized): log-probs are logits - logsumexp, and the beam
+    block defers that per-row constant to the few selected candidates
+    instead of normalizing the full vocab axis every iteration
+    (``jointer_step_beam`` below keeps the normalized form).
     """
     c = cfg
     D = c.jointer_embed_dim
@@ -434,7 +437,15 @@ def jointer_step_beam(params, cfg, h_last: jnp.ndarray, jk, jv,
                             params["embed_tokens"].astype(jnp.float32))
     else:
         logits = _dense(params["out_proj"], x.astype(jnp.float32))
-    return jax.nn.log_softmax(logits, axis=-1)
+    return logits
+
+
+def jointer_step_beam(params, cfg, h_last: jnp.ndarray, jk, jv,
+                      visible: jnp.ndarray) -> jnp.ndarray:
+    """[N, B, V] log-probs (normalized ``jointer_beam_logits``) — same
+    math as ``jointer_step`` batched over beams."""
+    return jax.nn.log_softmax(
+        jointer_beam_logits(params, cfg, h_last, jk, jv, visible), axis=-1)
 
 
 def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
