@@ -67,22 +67,58 @@ def _read_bytes_blob(data: bytes, expected_rate) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+def _read_wav_segment(path, offset: int, length: int
+                      ) -> tuple[np.ndarray, int]:
+    """Sample segment [offset, offset+length) of a PCM wav (stdlib)."""
+    with wave.open(str(path), "rb") as w:
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        w.setpos(min(offset, w.getnframes()))
+        raw = w.readframes(length)
+    if width != 2:
+        raise ValueError(f"segment reads support 16-bit PCM only: {path}")
+    data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
+    return data, rate
+
+
 def read_audio(path, expected_rate: int | None = 16000) -> np.ndarray:
     """Load a waveform as float32 mono; checks the sample rate like the
     reference (raw_audio_dataset.py:236-241).
 
-    Also accepts the reference's byte-range syntax
-    ``<container path>:<byte offset>:<byte length>`` for audio embedded in
-    uncompressed zip containers (MuST-C layout;
-    st_raw_audio_triple_dataset.py:154-186).
+    Also accepts the reference's two segment syntaxes
+    (``get_features_or_waveform``, st_raw_audio_triple_dataset.py:154-186):
+
+    - ``<zip path>:<byte offset>:<byte length>`` — an audio blob embedded
+      in an uncompressed zip container,
+    - ``<wav/flac path>:<sample offset>:<n samples>`` — a sample segment
+      of a long recording (the MuST-C *raw* manifests written by
+      prep_mustc_data_raw.py; decoded via ``get_segment_waveform``,
+      fairseq/fairseq/data/audio/audio_utils.py:38-54).
     """
     spath = str(path)
     if spath.count(":") == 2:
         base, off, size = spath.rsplit(":", 2)
-        with open(base, "rb") as f:
-            f.seek(int(off))
-            blob = f.read(int(size))
-        data, rate = _read_bytes_blob(blob, expected_rate)
+        ext = Path(base).suffix.lower()
+        if ext == ".wav":
+            data, rate = _read_wav_segment(base, int(off), int(size))
+        elif ext in (".flac", ".ogg"):
+            try:
+                import soundfile as sf
+            except ImportError as e:
+                raise ImportError(f"reading a segment of {base} needs the "
+                                  "optional 'soundfile' package") from e
+            data, rate = sf.read(base, dtype="float32", start=int(off),
+                                 frames=int(size))
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+        else:       # .zip (reference) or any generic blob container (ours)
+            with open(base, "rb") as f:
+                f.seek(int(off))
+                blob = f.read(int(size))
+            data, rate = _read_bytes_blob(blob, expected_rate)
         if expected_rate is not None and rate != expected_rate:
             raise ValueError(f"{path}: sample rate {rate} != {expected_rate}")
         return np.ascontiguousarray(data, dtype=np.float32)
