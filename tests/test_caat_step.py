@@ -128,6 +128,71 @@ def test_lm_prefill_matches_step_chain(normalize_before):
 
 
 @pytest.mark.parametrize("normalize_before", [True, False])
+@pytest.mark.parametrize("inter_beam", [1, 2])
+def test_lm_beam_step_matches_lm_step(normalize_before, inter_beam):
+    """The split prefix|suffix beam LM state (shared per-seed prefill K/V +
+    slot-aligned chunk-local suffix + origin pointers) must produce the
+    same ``h_last`` as full-width per-beam ``lm_step`` caches under beam
+    reorders and held streams — attention is a set operation, so the cache
+    split must not matter."""
+    model, params, caat, _ = _build(normalize_before)
+    N, B, IB, U_pre, S = 2, 3, inter_beam, 8, 6
+    rng = np.random.default_rng(2)
+
+    # per-stream seed prefixes (bos + a few tokens), different lengths
+    seeds = np.full((N, IB, U_pre), caat.pad, np.int32)
+    seed_lens = np.zeros((N, IB), np.int32)
+    for n in range(N):
+        for i in range(IB):
+            L = int(rng.integers(1, 4))
+            seeds[n, i, 0] = caat.bos
+            seeds[n, i, 1:L] = rng.integers(4, caat.vocab_size, L - 1)
+            seed_lens[n, i] = L
+
+    pre = caat_step.lm_prefill(
+        params, caat, jnp.asarray(seeds.reshape(N * IB, U_pre)),
+        jnp.asarray(seed_lens.reshape(N * IB)), U_pre)
+    origin0 = np.minimum(np.arange(B)[None, :].repeat(N, 0), IB - 1)
+    beam = caat_step.lm_beam_init(pre, jnp.asarray(seed_lens.reshape(-1)),
+                                  jnp.asarray(origin0.reshape(-1)),
+                                  n_slots=S, beams=B)
+
+    # reference: full-width per-beam caches via lm_reorder of the prefill
+    rows0 = (np.arange(N)[:, None] * IB + origin0).reshape(-1)
+    ref = caat_step.lm_reorder(pre, jnp.asarray(rows0))
+    # widen the reference caches so suffix tokens fit
+    ref = caat_step.LMState(
+        k=tuple(jnp.pad(k, ((0, S), (0, 0), (0, 0))) for k in ref.k),
+        v=tuple(jnp.pad(v, ((0, S), (0, 0), (0, 0))) for v in ref.v),
+        h_last=ref.h_last)
+    np.testing.assert_allclose(np.asarray(beam.h_last),
+                               np.asarray(ref.h_last), atol=2e-5, rtol=1e-4)
+
+    lens = seed_lens[np.arange(N)[:, None], origin0].reshape(-1).copy()
+    for step in range(S):
+        # a beam reorder permuting within each stream
+        rows = np.concatenate(
+            [n * B + rng.permutation(B) for n in range(N)]).astype(np.int32)
+        beam = caat_step.lm_beam_reorder(beam, jnp.asarray(rows))
+        ref = caat_step.lm_reorder(ref, jnp.asarray(rows))
+        lens = lens[rows]
+        # stream 1 freezes on odd steps (held h_last path)
+        adv = np.ones((N, B), bool)
+        adv[1] = step % 2 == 0
+        adv = adv.reshape(-1)
+        toks = rng.integers(4, caat.vocab_size, N * B).astype(np.int32)
+        beam = caat_step.lm_beam_step(params, caat, beam, jnp.asarray(toks),
+                                      jnp.asarray(lens), jnp.asarray(adv), B)
+        ref = caat_step.lm_step(params, caat, ref, jnp.asarray(toks),
+                                jnp.asarray(lens), jnp.asarray(adv))
+        lens += adv.astype(np.int32)
+        np.testing.assert_allclose(np.asarray(beam.h_last),
+                                   np.asarray(ref.h_last), atol=3e-5,
+                                   rtol=1e-4)
+    assert int(beam.sptr) == S
+
+
+@pytest.mark.parametrize("normalize_before", [True, False])
 def test_lm_slot_step_matches_lm_step(normalize_before):
     """The slot-aligned LM state (global write pointer + validity plane)
     must produce the same ``h_last`` as the position-aligned ``lm_step``

@@ -181,3 +181,36 @@ def test_native_bleu_counts_match_python():
     # corpus BLEU of identical corpora is 100
     hyps = ["a b c d e", "f g h i"]
     assert _fallback_corpus_bleu(hyps, hyps) == pytest.approx(100.0)
+
+
+def test_score_cli_bleu_wer(tmp_path, capsys):
+    """``eval.cli score`` (fairseq-score twin): corpus BLEU/WER of a sys
+    file vs a ref file, stdin input, per-sentence smoothed BLEU."""
+    from wav2vec_s_tpu.eval.cli import main
+    from wav2vec_s_tpu.eval.bleu import sentence_bleu
+
+    ref = tmp_path / "ref.txt"
+    ref.write_text("the cat sat on the mat\nhello world\n")
+    hyp = tmp_path / "sys.txt"
+    hyp.write_text("the cat sat on the mat\nHELLO world\n")
+
+    main(["score", "-s", str(hyp), "-r", str(ref), "--metric", "both"])
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["n"] == 2 and rec["BLEU"] < 100.0
+    assert rec["WER"] == pytest.approx(100.0 / 8)  # corpus_wer is a percent
+
+    # case-insensitive scoring: the corpora become identical
+    main(["score", "-s", str(hyp), "-r", str(ref), "--metric", "both",
+          "--ignore-case"])
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["BLEU"] == pytest.approx(100.0) and rec["WER"] == 0.0
+
+    # per-sentence smoothed BLEU, one json line per pair
+    main(["score", "-s", str(hyp), "-r", str(ref), "--sentence-bleu"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    got = [json.loads(ln)["BLEU"] for ln in lines]
+    assert got[0] == pytest.approx(
+        round(sentence_bleu("the cat sat on the mat",
+                            "the cat sat on the mat"), 2))
+    assert got[1] < got[0]

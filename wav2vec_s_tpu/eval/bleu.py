@@ -64,6 +64,19 @@ def _fallback_corpus_bleu(hypos: List[str], refs: List[str]) -> float:
     return 100.0 * bp * math.exp(logp)
 
 
+def sentence_bleu(hypo: str, ref: str) -> float:
+    """Sentence BLEU with +1 smoothing on the n-gram precisions — the
+    reference's ``fairseq-score --sentence-bleu`` mode
+    (fairseq/fairseq_cli/score.py, ``scorer.result_string`` with
+    SmoothedBleu semantics)."""
+    ht, rt = hypo.split(), ref.split()
+    m, t = _pair_counts(ht, rt)
+    logp = sum(math.log((mi + 1.0) / (ti + 1.0)) for mi, ti in zip(m, t)) / 4
+    hyp_len, ref_len = len(ht), len(rt)
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    return 100.0 * bp * math.exp(logp)
+
+
 def corpus_bleu(hypos: List[str], refs: List[str]) -> float:
     try:
         import sacrebleu

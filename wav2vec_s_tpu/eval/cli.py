@@ -16,6 +16,8 @@ Subcommands re-providing the reference's eval entry points:
   checkpoints trained with ``run.task: ctc``
 - ``sweep``    ~ the eval scripts' DECISION_STEP loop
   (eval_wav2vec_s_caat_st.sh): batched quality@AL over operating points
+- ``score``    ~ fairseq-score (fairseq_cli/score.py): BLEU/WER of a
+  system-output file against a reference file
 
 Usage:
   python -m wav2vec_s_tpu.eval.cli average --ckpt-dir D --k 5 --out avg.npz
@@ -420,6 +422,38 @@ def cmd_eval_lm(args):
     }))
 
 
+def cmd_score(args):
+    """BLEU/WER of a system file vs a reference file — the fairseq-score
+    twin (fairseq/fairseq_cli/score.py): ``--sys -`` reads stdin,
+    ``--ignore-case`` lowercases both sides, ``--sentence-bleu`` prints
+    per-line smoothed BLEU instead of the corpus score."""
+    from wav2vec_s_tpu.eval.bleu import corpus_bleu, sentence_bleu
+    from wav2vec_s_tpu.eval.wer import corpus_wer
+
+    def read(path):
+        if path == "-":
+            lines = [ln.rstrip("\n") for ln in sys.stdin]
+        else:
+            with open(path) as fh:
+                lines = [ln.rstrip("\n") for ln in fh]
+        return [ln.lower() for ln in lines] if args.ignore_case else lines
+
+    hyps, refs = read(args.sys), read(args.ref)
+    if len(hyps) != len(refs):
+        raise SystemExit(
+            f"line count mismatch: sys={len(hyps)} ref={len(refs)}")
+    if args.sentence_bleu:
+        for i, (h, r) in enumerate(zip(hyps, refs)):
+            print(json.dumps({"i": i, "BLEU": round(sentence_bleu(h, r), 2)}))
+        return
+    out = {"n": len(hyps)}
+    if args.metric in ("bleu", "both"):
+        out["BLEU"] = round(corpus_bleu(hyps, refs), 2)
+    if args.metric in ("wer", "both"):
+        out["WER"] = round(corpus_wer(hyps, refs), 4)
+    print(json.dumps(out))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("wav2vec_s_tpu eval")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -476,6 +510,16 @@ def main(argv=None):
     pl.add_argument("--text", required=True,
                     help="plain-text file to score, one sentence per line")
 
+    px = sub.add_parser("score")
+    px.add_argument("-s", "--sys", default="-", help="system output file "
+                    "('-' = stdin)")
+    px.add_argument("-r", "--ref", required=True, help="reference file")
+    px.add_argument("--metric", default="bleu",
+                    choices=["bleu", "wer", "both"])
+    px.add_argument("--ignore-case", action="store_true")
+    px.add_argument("--sentence-bleu", action="store_true",
+                    help="per-line smoothed BLEU instead of corpus BLEU")
+
     argv_list = list(argv) if argv is not None else None
     args = p.parse_args(argv_list)
     if getattr(args, "platform", None):
@@ -483,7 +527,8 @@ def main(argv=None):
     {"average": cmd_average, "simul": cmd_simul,
      "generate": cmd_generate, "interactive": cmd_interactive,
      "eval-lm": cmd_eval_lm, "ctc-decode": cmd_ctc_decode,
-     "batch-decode": cmd_batch_decode, "sweep": cmd_sweep}[args.cmd](args)
+     "batch-decode": cmd_batch_decode, "sweep": cmd_sweep,
+     "score": cmd_score}[args.cmd](args)
 
 
 if __name__ == "__main__":

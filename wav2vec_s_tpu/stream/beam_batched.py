@@ -137,10 +137,12 @@ class BatchedBeamStreamingDecoder:
             scores [N, B] unnormalized; visible/is_end/active [N].
             The working width U_blk is the host-bucketed prefix length
             (one executable per bucket).  The prefix LM runs ONCE per
-            block (``lm_prefill``); each beam iteration is then an O(1)
-            cached step with a beam-reorder gather (``lm_reorder`` — the
+            block (``lm_prefill``) and its K/V stay shared per stream
+            seed (``BeamLMState``); each beam iteration is then an O(1)
+            cached step over the split prefix|suffix cache with a
+            suffix-only beam-reorder gather (``lm_beam_reorder`` — the
             fairseq reorder_incremental_state pattern), not a full prefix
-            recompute.  ``cap`` (static) slices the jointer K/V to the
+            recompute or a full-width cache gather.  ``cap`` (static) slices the jointer K/V to the
             revealed-frame capacity bucket: early chunks would otherwise
             read the full [t_cap] cache per beam iteration — the same
             masked-row HBM waste the greedy decoders segment away
@@ -153,17 +155,24 @@ class BatchedBeamStreamingDecoder:
             # rows per stream are live (decode init, ``_host_merge_chunk``'s
             # keep list, and ``_reseed_best`` all seed rows [0, IB) and set
             # every other score to -inf), so the full-prefix LM recompute —
-            # the beam block's dominant FLOPs — runs on N*IB rows and the
-            # dead rows borrow row IB-1's cache (their -inf scores keep
-            # them out of every top-k/pool reduction; the first iteration's
-            # ``lm_reorder`` gather re-points them at live origins anyway)
+            # the beam block's dominant FLOPs — runs on N*IB rows.  The
+            # prefill K/V stay SHARED at N*IB rows for the whole block
+            # (``BeamLMState``): beams carry only an origin pointer plus a
+            # chunk-local slot-aligned suffix cache, so each beam iteration
+            # reads the prefix once per stream-seed instead of once per
+            # beam, and the beam-reorder gather moves O(S) suffix rows, not
+            # the full-width caches (dead beams borrow seed IB-1; their
+            # -inf scores keep them out of every top-k/pool reduction)
             IB = min(self.inter_beam, B)
             lm_small = caat_step.lm_prefill(
                 params, caat, prefixes[:, :IB].reshape(N * IB, U_blk),
                 nlens[:, :IB].reshape(N * IB), U_blk)
-            rows0 = (jnp.arange(N)[:, None] * IB +
-                     jnp.minimum(jnp.arange(B)[None, :], IB - 1)).reshape(-1)
-            lm0 = caat_step.lm_reorder(lm_small, rows0)
+            origin0 = jnp.broadcast_to(
+                jnp.minimum(jnp.arange(B)[None, :], IB - 1),
+                (N, B)).reshape(-1)
+            lm0 = caat_step.lm_beam_init(
+                lm_small, nlens[:, :IB].reshape(N * IB), origin0,
+                n_slots=max_steps_, beams=B)
             pool_t = jnp.full((N, 2 * B, U_blk), pad_id, jnp.int32)
             pool_s = jnp.full((N, 2 * B), NINF)
             lengths = nlens.astype(jnp.float32) - 1.0
@@ -241,14 +250,15 @@ class BatchedBeamStreamingDecoder:
                 b_idx = jnp.arange(B)[None, :]
                 nx_prefix = nx_prefix.at[
                     n_idx, b_idx, jnp.minimum(nx_nlens, U_blk - 1)].set(toks)
-                # cached LM advance: gather the origin beams' caches, then
-                # consume the new token (frozen streams keep h_last)
+                # cached LM advance: gather the origin beams' suffix caches
+                # (the shared prefix never moves), then consume the new
+                # token (frozen streams keep h_last)
                 flat_rows = (n_idx * B + rows).reshape(N * B)
-                lm = caat_step.lm_reorder(lm, flat_rows)
+                lm = caat_step.lm_beam_reorder(lm, flat_rows)
                 adv = jnp.broadcast_to(~done[:, None], (N, B)).reshape(-1)
-                lm = caat_step.lm_step(
+                lm = caat_step.lm_beam_step(
                     params, caat, lm, toks.reshape(N * B),
-                    jnp.minimum(nx_nlens, U_blk - 1).reshape(N * B), adv)
+                    jnp.minimum(nx_nlens, U_blk - 1).reshape(N * B), adv, B)
                 nx_nlens = nx_nlens + 1
 
                 # early stop: best finished beats best open by gen_beam

@@ -266,6 +266,185 @@ def lm_slot_init(params, cfg, n_streams: int, n_slots: int,
                         jnp.ones(n_streams, bool))
 
 
+class BeamLMState(struct.PyTreeNode):
+    """Split-cache incremental LM state for the device-batched beam search.
+
+    The beam block re-seeds every chunk from at most ``inter_beam`` kept
+    prefixes per stream (transducer_searcher.py:403-421 rolls its caches
+    back to the same common point), so the B beams of a stream share their
+    chunk-entry prefix: storing per-beam full-width caches (``LMState``
+    over N*B rows) makes every beam iteration gather-and-scatter B
+    identical copies of the prefix K/V.  Here the cache splits into
+
+    - a PREFIX part, computed once per chunk by ``lm_prefill`` over the
+      N*IB live seed rows and never reordered or written again
+      (pk/pv: per-layer [U_pre, NI, D], NI = N*inter_beam; plen: [NI]);
+    - a chunk-local SUFFIX part holding only the tokens emitted inside
+      the current beam block, slot-aligned on the loop iteration counter
+      exactly like ``SlotLMState`` (sk/sv: per-layer [S, N*B, D] with a
+      validity plane; S = the block's max emission count);
+    - ``origin``: [N*B] local seed index in [0, IB) each beam descends
+      from — beam reorders permute beams within a stream, so the prefix
+      share stays valid and only origin/suffix/h_last travel.
+
+    Attention is a set operation, so softmax over the concatenated
+    (prefix | suffix) logits equals the position-aligned ``lm_step``
+    (pinned by tests/test_caat_step.py).  Per-iteration HBM traffic drops
+    from O(U_pre * N*B) to O(U_pre * N*IB + S * N*B) — at the published
+    inter_beam=1 / beam 5 operating point, ~5x less prefix read and no
+    full-width reorder copy.
+    """
+
+    pk: tuple
+    pv: tuple
+    plen: jnp.ndarray
+    origin: jnp.ndarray
+    sk: tuple
+    sv: tuple
+    svalid: jnp.ndarray
+    sptr: jnp.ndarray
+    h_last: jnp.ndarray
+
+
+def lm_beam_init(pre: "LMState", plen: jnp.ndarray, origin: jnp.ndarray,
+                 n_slots: int, beams: int) -> BeamLMState:
+    """Build beam state from a ``lm_prefill`` result over the seed rows.
+
+    pre: LMState with k/v [U_pre, NI, D], h_last [NI, D]; plen: [NI]
+    prefix lengths (incl. bos); origin: [N*B] LOCAL seed index in
+    [0, IB) per beam (dead beams borrow a live seed — their -inf scores
+    keep them out of every reduction, and the first reorder re-points
+    them anyway); beams: B (static).
+    """
+    NI = pre.h_last.shape[0]
+    NB = origin.shape[0]
+    N = NB // beams
+    IB = NI // N
+    dtype = pre.k[0].dtype
+    D = pre.h_last.shape[-1]
+    z = tuple(jnp.zeros((n_slots, NB, D), dtype) for _ in pre.k)
+    rows = (jnp.arange(NB) // beams) * IB + origin   # global prefill rows
+    return BeamLMState(
+        pk=pre.k, pv=pre.v, plen=plen, origin=origin,
+        sk=z, sv=z, svalid=jnp.zeros((n_slots, NB), bool),
+        sptr=jnp.zeros((), jnp.int32), h_last=pre.h_last[rows])
+
+
+def lm_beam_reorder(state: BeamLMState, rows: jnp.ndarray) -> BeamLMState:
+    """Beam-reorder gather (fairseq ``reorder_incremental_state``): only
+    the chunk-local suffix, origin pointers and h_last travel — the shared
+    prefix caches are untouched.  ``rows`` must permute beams within a
+    stream (the beam expansion's ``n*B + origin_beam`` pattern)."""
+    return state.replace(
+        origin=state.origin[rows],
+        sk=tuple(k[:, rows] for k in state.sk),
+        sv=tuple(v[:, rows] for v in state.sv),
+        svalid=state.svalid[:, rows],
+        h_last=state.h_last[rows])
+
+
+def lm_beam_step(params, cfg, state: BeamLMState, tokens: jnp.ndarray,
+                 index: jnp.ndarray, advance: jnp.ndarray,
+                 beams: int) -> BeamLMState:
+    """Split-cache twin of ``lm_step`` for the beam block.
+
+    tokens/index/advance: [N*B] as in ``lm_step`` (``index`` is the new
+    token's prefix position and drives the positional embedding); the new
+    K/V rows land in the suffix at slot ``state.sptr``.  ``beams`` = B
+    (static) groups the row axis as [N, B] for the shared-prefix
+    attention.
+    """
+    c = cfg
+    D = c.decoder_embed_dim
+    H = c.decoder_attention_heads
+    Dh = D // H
+    lm = params["decoder_lm"]
+    embed = params.get("embed_tokens", lm.get("embed_tokens"))
+    dtype = c.compute_dtype
+    NB = tokens.shape[0]
+    B = beams
+    N = NB // B
+    U_pre, NI, _ = state.pk[0].shape
+    IB = NI // N
+    S = state.sk[0].shape[0]
+
+    x = embed.astype(dtype)[tokens] * (D ** 0.5)                 # [NB, D]
+    table = sinusoidal_table(
+        c.max_target_positions + PADDING_IDX + 1 + c.rand_pos_decoder, D)
+    x = x + table[index + 1 + PADDING_IDX].astype(dtype)
+
+    ptr = state.sptr
+    org = state.origin.reshape(N, B)
+    plen_nb = jnp.take_along_axis(state.plen.reshape(N, IB), org, 1)  # [N,B]
+    pre_bias = jnp.where(
+        jnp.arange(U_pre)[None, None] < plen_nb[..., None], 0.0,
+        MASK_VALUE)                                          # [N, B, U_pre]
+    qvalid = jax.lax.dynamic_update_slice_in_dim(
+        state.svalid, jnp.ones((1, NB), bool), ptr, axis=0)
+    suf_bias = jnp.where(qvalid.T, 0.0, MASK_VALUE)              # [NB, S]
+    new_svalid = jax.lax.dynamic_update_slice_in_dim(
+        state.svalid, advance[None], ptr, axis=0)
+
+    new_sk, new_sv = list(state.sk), list(state.sv)
+    for i in range(c.decoder_layers):
+        lp = lm[f"layer_{i}"]
+        att = lp["self_attn"]
+        h_in = (_ln(lp["self_attn_layer_norm"], x)
+                if c.decoder_normalize_before else x)
+        q = _dense(att["q_proj"], h_in)
+        k1 = _dense(att["k_proj"], h_in)
+        v1 = _dense(att["v_proj"], h_in)
+        new_sk[i] = jax.lax.dynamic_update_slice_in_dim(
+            new_sk[i], k1[None].astype(new_sk[i].dtype), ptr, axis=0)
+        new_sv[i] = jax.lax.dynamic_update_slice_in_dim(
+            new_sv[i], v1[None].astype(new_sv[i].dtype), ptr, axis=0)
+
+        qh = q.reshape(N, B, H, Dh)
+        kp = state.pk[i].astype(dtype).reshape(U_pre, N, IB, H, Dh)
+        vp = state.pv[i].astype(dtype).reshape(U_pre, N, IB, H, Dh)
+        # logits against every seed's prefix, then select each beam's
+        # origin: IB x the logit FLOPs (tiny vs the cache read) buys ONE
+        # shared [U_pre, NI, D] read instead of a per-beam gather
+        lp_all = jnp.einsum("nbhd,unihd->nbihu", qh, kp,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        lp_sel = jnp.take_along_axis(
+            lp_all, org[:, :, None, None, None], axis=2)[:, :, 0]
+        lp_sel = lp_sel + pre_bias[:, :, None, :]            # [N, B, H, U]
+
+        ks = new_sk[i].astype(dtype).reshape(S, NB, H, Dh)
+        vs = new_sv[i].astype(dtype).reshape(S, NB, H, Dh)
+        ls = jnp.einsum("mhd,smhd->mhs", q.reshape(NB, H, Dh), ks,
+                        preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        ls = ls + suf_bias[:, None, :]                       # [NB, H, S]
+
+        both = jnp.concatenate(
+            [lp_sel.reshape(NB, H, U_pre), ls], axis=-1)
+        p = jax.nn.softmax(both, axis=-1).astype(dtype)
+        p_pre = p[..., :U_pre].reshape(N, B, H, U_pre)
+        p_suf = p[..., U_pre:]
+        o_all = jnp.einsum("nbhu,unihd->nbihd", p_pre, vp)
+        o_pre = jnp.take_along_axis(
+            o_all, org[:, :, None, None, None], axis=2)[:, :, 0]
+        o_suf = jnp.einsum("mhs,smhd->mhd", p_suf, vs)
+        o = o_pre.reshape(NB, H, Dh) + o_suf
+        h = _dense(att["out_proj"], o.reshape(NB, D))
+        if c.decoder_normalize_before:
+            x = x + h
+            hf = _dense(lp["fc2"], jax.nn.relu(
+                _dense(lp["fc1"], _ln(lp["final_layer_norm"], x))))
+            x = x + hf
+        else:
+            x = _ln(lp["self_attn_layer_norm"], x + h)
+            hf = _dense(lp["fc2"], jax.nn.relu(_dense(lp["fc1"], x)))
+            x = _ln(lp["final_layer_norm"], x + hf)
+
+    if c.decoder_normalize_before:
+        x = _ln(lm["layer_norm"], x)
+    h_last = jnp.where(advance[:, None], x, state.h_last)
+    return state.replace(sk=tuple(new_sk), sv=tuple(new_sv),
+                         svalid=new_svalid, sptr=ptr + 1, h_last=h_last)
+
+
 def lm_prefill(params, cfg, tokens: jnp.ndarray, lens: jnp.ndarray,
                u_cap: int) -> LMState:
     """Full-prefix LM forward that ALSO materializes the per-layer K/V
