@@ -311,7 +311,8 @@ def train_bench(attention_impl: str = "dense", B: int = 8,
     }
 
 
-def pretrain_bench(B: int = 6, seconds: float = 15.0, iters: int = 5):
+def pretrain_bench(B: int = 6, seconds: float = 15.0, iters: int = 5,
+                   attention_impl: str = "flash"):
     """wav2vec-S pre-training step (base dims): updates/s + est. MFU.
 
     The 400k-update pre-train dominates the reference recipe's compute
@@ -329,7 +330,8 @@ def pretrain_bench(B: int = 6, seconds: float = 15.0, iters: int = 5):
     from wav2vec_s_tpu.utils.masking import (
         compute_span_mask_np, expected_mask_count)
 
-    cfg = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0)
+    cfg = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0,
+                                attention_impl=attention_impl)
     model = Wav2Vec2Model(cfg, encoder_type="blockwise")
 
     S = int(seconds * 16000)

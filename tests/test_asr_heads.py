@@ -12,6 +12,11 @@ from wav2vec_s_tpu.eval.generator import (
 from wav2vec_s_tpu.data.dictionary import Dictionary
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def test_ctc_forward_loss_and_grads():
     model = Wav2VecCtc(W2V_TINY, vocab_size=30)
     B, S = 2, 2400

@@ -8,6 +8,11 @@ from wav2vec_s_tpu.data.dictionary import Dictionary
 from wav2vec_s_tpu.stream.batched import BatchedGreedyStreamingDecoder
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _setup(max_emit=4):
     model, params, caat = _tiny_caat()
     vocab = Dictionary()

@@ -20,6 +20,11 @@ from wav2vec_s_tpu.stream.engine import StreamingEngine
 from wav2vec_s_tpu.stream.searcher import StreamingTransducerSearcher
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _setup():
     model = W2V2CaatModel(W2V_TINY, CAAT_TINY)
     src = jax.random.normal(jax.random.PRNGKey(1), (1, 2400))

@@ -15,6 +15,11 @@ W2V_TINY = Wav2Vec2Config(
     encoder_attention_heads=4, final_dim=16, encoder_layerdrop=0.0,
     main_context=4, right_context=2, feature_grad_mult=1.0)
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 CAAT_TINY = CaatConfig(
     vocab_size=30, decoder_layers=2, decoder_embed_dim=24,
     decoder_ffn_embed_dim=48, decoder_attention_heads=4,

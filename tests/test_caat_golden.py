@@ -30,7 +30,7 @@ TINY_CONV_STR = "[(16, 10, 5), (16, 3, 2), (16, 2, 2)]"
 D = 24
 
 
-def _build_reference(tmp_path):
+def _build_reference(tmp_path, w2v_dim=D, use_linear_layer=False):
     load_rain()
     from fairseq.data import Dictionary
     from fairseq.models.wav2vec.wav2vec_S import (
@@ -45,7 +45,8 @@ def _build_reference(tmp_path):
     #    encoder loads it at build, unidirect_w2v2_encoder.py:541-555)
     w2v_ref_cfg = Wav2VecSConfig(
         conv_feature_layers=TINY_CONV_STR, extractor_mode="layer_norm",
-        encoder_layers=2, encoder_embed_dim=D, encoder_ffn_embed_dim=48,
+        encoder_layers=2, encoder_embed_dim=w2v_dim,
+        encoder_ffn_embed_dim=48,
         encoder_attention_heads=4, final_dim=16,
         dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
         dropout_input=0.0, dropout_features=0.0, encoder_layerdrop=0.0,
@@ -59,7 +60,7 @@ def _build_reference(tmp_path):
 
     # 2) fine-tune args: w2v2_caat-style, tiny dims
     args = argparse.Namespace(
-        w2v2_model_path=str(ckpt), use_linear_layer=False,
+        w2v2_model_path=str(ckpt), use_linear_layer=use_linear_layer,
         main_context=4, right_context=2,
         encoder_embed_dim=D, decoder_embed_dim=D, decoder_output_dim=D,
         decoder_ffn_embed_dim=48, decoder_layers=2,
@@ -133,6 +134,62 @@ def test_caat_joint_lattice_golden(tmp_path):
         jnp.asarray(prev.numpy()), train=False)
     got = np.asarray(got_joint)
 
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_array_equal(np.asarray(got_glens),
+                                  want_glens.numpy())
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+
+def test_caat_use_linear_layer_golden(tmp_path):
+    """--use-linear-layer with a dim-mismatched wav2vec encoder: rain
+    creates ``encoder_proj`` (unidirect_w2v2_encoder.py:557-562) and every
+    published fine-tune recipe passes the flag
+    (train_wav2vec_s_caat_simulst_base.sh:46); joint-lattice parity with
+    the projection imported and applied."""
+    encoder, decoder, dictionary, args = _build_reference(
+        tmp_path, w2v_dim=16, use_linear_layer=True)
+    assert encoder.encoder_proj is not None
+
+    B, S, U = 2, 2400, 4
+    torch.manual_seed(1)
+    x = torch.randn(B, S)
+    lengths = torch.tensor([S, S])
+    prev = torch.tensor([[dictionary.eos(), 5, 6, 7],
+                         [dictionary.eos(), 8, 9, 10]])
+    with torch.no_grad():
+        enc_out = encoder(x, lengths)
+        want_joint, want_glens = decoder(prev, enc_out)
+    want = want_joint.numpy()
+
+    sd = {}
+    for k, v in encoder.state_dict().items():
+        sd[f"encoder.{k}"] = v
+    for k, v in decoder.state_dict().items():
+        sd[f"decoder.{k}"] = v
+    assert "encoder.encoder_proj.weight" in sd
+
+    w2v_cfg = Wav2Vec2Config(
+        conv_feature_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)),
+        extractor_mode="layer_norm", encoder_layers=2, encoder_embed_dim=16,
+        encoder_ffn_embed_dim=48, encoder_attention_heads=4, final_dim=16,
+        encoder_layerdrop=0.0, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, dropout_input=0.0, dropout_features=0.0,
+        main_context=4, right_context=2, pos_type="sin",
+        feature_grad_mult=1.0)
+    caat_cfg = CaatConfig(
+        vocab_size=len(dictionary), decoder_layers=2, decoder_embed_dim=D,
+        decoder_ffn_embed_dim=48, decoder_attention_heads=4,
+        jointer_layers=2, jointer_embed_dim=D, jointer_ffn_embed_dim=48,
+        jointer_attention_heads=4, transducer_downsample=8,
+        dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        encoder_proj=True)
+
+    params = import_caat_params(sd, w2v_cfg, caat_cfg)
+    model = W2V2CaatModel(w2v_cfg, caat_cfg)
+    got_joint, got_glens = model.apply(
+        {"params": params}, jnp.asarray(x.numpy()),
+        jnp.asarray(prev.numpy()), train=False)
+    got = np.asarray(got_joint)
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_array_equal(np.asarray(got_glens),
                                   want_glens.numpy())

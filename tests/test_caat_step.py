@@ -15,6 +15,9 @@ from wav2vec_s_tpu.models.caat import W2V2CaatModel
 from wav2vec_s_tpu.stream import caat_step
 
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _build(normalize_before: bool):
     caat = dataclasses.replace(CAAT_TINY,
                                decoder_normalize_before=normalize_before)

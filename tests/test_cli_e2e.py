@@ -10,6 +10,9 @@ import pytest
 from wav2vec_s_tpu.data.audio import write_wav
 
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _make_audio_dir(tmp_path, n=6, seconds=0.4):
     rng = np.random.default_rng(0)
     audio = tmp_path / "audio"

@@ -27,6 +27,11 @@ from tests.test_wav2vec2_model import TINY, _rngs
 import dataclasses
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def test_seq_sharded_encode_matches_unsharded():
     cfg_cp = dataclasses.replace(TINY, seq_axis=AXES.seq)
     model = Wav2Vec2Model(TINY, encoder_type="blockwise")

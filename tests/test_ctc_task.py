@@ -15,6 +15,11 @@ from wav2vec_s_tpu.train.recipes import make_ctc_loss_fn
 PAD, EOS, BLANK = 1, 2, 0
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _setup(B=2, S=2400, V=30):
     model = Wav2VecCtc(W2V_TINY, vocab_size=V)
     src = jax.random.normal(jax.random.PRNGKey(1), (B, S))

@@ -10,6 +10,9 @@ import pytest
 from wav2vec_s_tpu.data.audio import write_wav
 
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 @pytest.fixture(scope="module")
 def tiny_setup(tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("evalx")

@@ -14,6 +14,9 @@ from wav2vec_s_tpu.models.waitk import (
     waitk_cross_bias, WaitkModel, WaitkAgent)
 from wav2vec_s_tpu.models.caat.transducer_model import caat_loss
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 ENC_TINY = dataclasses.replace(W2V_TINY)  # reuse encoder hyperparams
 
 

@@ -10,6 +10,11 @@ from wav2vec_s_tpu.models import Wav2Vec2Model
 from wav2vec_s_tpu.stream.incremental import IncrementalBlockwiseEncoder
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def test_incremental_matches_full_encode():
     mc, rc = TINY.main_context, TINY.right_context   # 4, 2
     model = Wav2Vec2Model(TINY, encoder_type="blockwise")

@@ -9,6 +9,11 @@ from wav2vec_s_tpu.models.mma import (
     expected_alignment, MMAModel, latency_loss)
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def test_expected_alignment_properties(rng):
     B, H, U, S = 2, 3, 4, 8
     p = jnp.asarray(rng.uniform(0.1, 0.9, (B, H, U, S)), jnp.float32)

@@ -19,6 +19,11 @@ from pathlib import Path
 import numpy as np
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))

@@ -15,6 +15,9 @@ from wav2vec_s_tpu.stream.batched import (CachedFusedGreedyDecoder,
                                           OneShotCorpusDecoder)
 
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 @pytest.mark.parametrize("blocks_per_step", [1, 2])
 def test_oneshot_matches_cached_fused(blocks_per_step):
     dec, vocab = _setup(max_emit=4)

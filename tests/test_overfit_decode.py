@@ -21,6 +21,9 @@ from wav2vec_s_tpu.train.optim import OptimConfig, build_optimizer
 from wav2vec_s_tpu.train.recipes import make_caat_loss_fn
 from wav2vec_s_tpu.train.step import TrainState, make_train_step
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 TARGETS = [[5, 6, 7], [8, 9]]          # token ids (eos=2, pad=1 appended)
 
 

@@ -9,6 +9,9 @@ from wav2vec_s_tpu.ops.transducer.jnp_impl import (
 from wav2vec_s_tpu.ops.transducer.pallas_kernel import pallas_alphas
 
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 @pytest.mark.parametrize("B,T,U,V", [(2, 6, 5, 7), (1, 17, 3, 5),
                                      (3, 8, 9, 11)])
 def test_pallas_alphas_matches_jnp(B, T, U, V, rng):

@@ -14,6 +14,11 @@ from wav2vec_s_tpu.models.asr import Wav2Vec2Seq2Seq
 from wav2vec_s_tpu.train.recipes import make_s2s_loss_fn
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _setup(B=2, S=2400, U=5):
     model = Wav2Vec2Seq2Seq(W2V_TINY, CAAT_TINY)
     src = jax.random.normal(jax.random.PRNGKey(1), (B, S))

@@ -16,6 +16,9 @@ from wav2vec_s_tpu.stream.batched import CachedFusedGreedyDecoder
 from wav2vec_s_tpu.stream.serving import ServingSession
 
 
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 @pytest.fixture(scope="module")
 def setup():
     model, params, caat = _tiny_caat()

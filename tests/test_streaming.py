@@ -10,6 +10,11 @@ from wav2vec_s_tpu.stream.latency import (
 from wav2vec_s_tpu.eval import wer, corpus_wer, corpus_bleu
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def test_latency_hand_values():
     # wait-1 policy on equal lengths: delays = [1, 2, 3], |x| = 3
     assert abs(average_proportion([1, 2, 3], 3) - (6 / 9)) < 1e-9

@@ -11,6 +11,11 @@ from wav2vec_s_tpu.data.dictionary import Dictionary
 from wav2vec_s_tpu.models.text_caat import TextCaatModel, TextTransducerAgent
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _setup():
     model = TextCaatModel(W2V_TINY, CAAT_TINY)
     src = jnp.asarray([[4, 5, 6, 7, 8, 9, 10, 11]], jnp.int32)

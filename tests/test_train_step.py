@@ -14,6 +14,11 @@ from wav2vec_s_tpu.train.lr_schedules import polynomial_decay, inverse_sqrt
 from tests.test_wav2vec2_model import TINY, _rngs
 
 
+import pytest
+
+pytestmark = pytest.mark.slow   # heavyweight e2e/equality leg
+
+
 def _make_state_and_batch(B=8, S=1600, M=4):
     model = Wav2Vec2Model(TINY, encoder_type="blockwise")
     src = jax.random.normal(jax.random.PRNGKey(1), (B, S))

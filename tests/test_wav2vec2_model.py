@@ -146,3 +146,23 @@ def test_relative_attention_module():
         p["params"]["rel_values"]))}
     y2 = mod.apply(p2, x)
     assert np.abs(np.asarray(y) - np.asarray(y2)).max() > 1e-4
+
+
+def test_strided_conv_matches_dense_conv():
+    """_StridedConv (stride-group matmul decomposition) == nn.Conv VALID."""
+    import flax.linen as nn
+    from wav2vec_s_tpu.models.feature_extractor import _StridedConv
+
+    rng = np.random.default_rng(3)
+    for (k, s, C, F, T) in [(3, 2, 32, 16, 37), (2, 2, 16, 8, 40),
+                            (5, 2, 8, 8, 33), (3, 3, 8, 16, 29)]:
+        x = jnp.asarray(rng.standard_normal((2, T, C)), jnp.float32)
+        mod = _StridedConv(features=F, kernel=k, stride=s, use_bias=True)
+        p = mod.init(jax.random.PRNGKey(0), x)
+        ref = nn.Conv(features=F, kernel_size=(k,), strides=(s,),
+                      padding="VALID", use_bias=True)
+        got = mod.apply(p, x)
+        want = ref.apply(p, x)
+        assert got.shape == want.shape, (k, s, got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)

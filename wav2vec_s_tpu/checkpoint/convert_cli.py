@@ -123,6 +123,10 @@ def main(argv=None):
                     "transducer_downsample"):
             if key in model_cfg and key not in caat_kw:
                 caat_kw[key] = model_cfg[key]
+        # --use-linear-layer projection is present iff rain created it
+        # (dim mismatch, unidirect_w2v2_encoder.py:557-562)
+        caat_kw.setdefault("encoder_proj",
+                           "encoder.encoder_proj.weight" in sd)
         caat_cfg = CaatConfig(**caat_kw)
         params = import_caat_params(sd, cfg, caat_cfg)
     else:

@@ -118,6 +118,9 @@ def export_caat_params(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     (naming per import_caat_params' docstring; the exact inverse)."""
     out = export_wav2vec2_params(params["encoder"],
                                  prefix="encoder.w2v2_model.")
+    if "encoder_proj" in params:
+        # --use-linear-layer (unidirect_w2v2_encoder.py:557-562)
+        _linear(out, "encoder.encoder_proj", params["encoder_proj"])
     out["decoder.lm.embed_tokens.weight"] = _a(params["embed_tokens"])
 
     lm = params["decoder_lm"]

@@ -173,8 +173,17 @@ def import_caat_params(state_dict: Dict[str, Any], w2v_cfg, caat_cfg
     p["encoder"] = import_wav2vec2_params(
         sd, w2v_cfg, encoder_type="blockwise", prefix="encoder.w2v2_model.")
     if "encoder.encoder_proj.weight" in sd:
-        raise NotImplementedError(
-            "use_linear_layer encoder projection not supported")
+        # --use-linear-layer post-encoder projection; rain only creates it
+        # when the dims mismatch (unidirect_w2v2_encoder.py:557-562)
+        if not caat_cfg.encoder_proj:
+            raise ValueError(
+                "checkpoint has encoder.encoder_proj (--use-linear-layer) "
+                "but CaatConfig.encoder_proj is False")
+        p["encoder_proj"] = _linear(sd, "encoder.encoder_proj")
+    elif caat_cfg.encoder_proj:
+        raise ValueError(
+            "CaatConfig.encoder_proj=True but the checkpoint has no "
+            "encoder.encoder_proj weights")
 
     p["embed_tokens"] = _t(sd["decoder.lm.embed_tokens.weight"])
 

@@ -38,6 +38,12 @@ class CaatConfig:
     jointer_ffn_embed_dim: int = 3072
     jointer_attention_heads: int = 12
     transducer_downsample: int = 64
+    # --use-linear-layer: project encoder features to decoder_embed_dim
+    # when the wav2vec encoder dim differs (rain creates the layer only on
+    # dim mismatch, unidirect_w2v2_encoder.py:557-562; inert at the
+    # published dims 768==768 / 1024==1024 but required for third-party
+    # checkpoints fine-tuned with a width change)
+    encoder_proj: bool = False
     # fbank model family selection (rain encodes these in arch names, e.g.
     # transducer_base_s2 = shallow2d front-end; caat_transformer = mha)
     frontend: str = "shallow2d"   # shallow2d | vgg2d | resnet | resnet_small

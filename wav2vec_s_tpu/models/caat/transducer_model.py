@@ -58,11 +58,19 @@ class W2V2CaatModel(nn.Module):
         if not c.share_input_output_embed:
             self.out_proj = nn.Dense(c.vocab_size, use_bias=False,
                                      dtype=c.compute_dtype)
+        if c.encoder_proj:
+            # --use-linear-layer post-encoder projection
+            # (rain/layers/unidirect_w2v2_encoder.py:557-562,589-600)
+            self.encoder_proj = nn.Dense(c.decoder_embed_dim,
+                                         dtype=c.compute_dtype)
 
     def encode(self, source, padding_mask=None, main_context=None,
                right_context=None, train=False):
-        return self.encoder.extract_features(
+        enc, enc_pad = self.encoder.extract_features(
             source, padding_mask, main_context, right_context, train)
+        if self.cfg.encoder_proj:
+            enc = self.encoder_proj(enc)
+        return enc, enc_pad
 
     def output_logits(self, h):
         """Project joint states to vocab (shared embedding by default)."""

@@ -79,6 +79,52 @@ class _Im2ColConv(nn.Module):
         return y
 
 
+class _StridedConv(nn.Module):
+    """Strided Conv1d as ceil(k/s) reshaped matmuls — for deep channels.
+
+    XLA's TPU conv lowering on the [B, T, 512] k=3/s=2 middle blocks
+    splits the time axis into spatial chunks and burns more time in
+    data-movement fusions than in the MXU (profiled ~20 ms/step of the
+    pre-train forward+backward against a ~2 ms flop bound).  A strided
+    conv is exactly a sum of matmuls over stride-groups: reshaping
+    [B, T, C] -> [B, T/s, s*C] makes group r of the kernel a single
+    [B, T', min(s,k-rs)*C] x [.., F] contraction — pure MXU, no patch
+    materialization (the reshape is layout-free).  Param names/shapes
+    match ``nn.Conv`` ("kernel" [k, in, out], optional "bias"), so
+    checkpoints are interchangeable.
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:   # [B, T, C]
+        B, T, C = x.shape
+        k, s, F = self.kernel, self.stride, self.features
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (k, C, F), jnp.float32)
+        t_out = (T - k) // s + 1
+        y = None
+        for r in range((k + s - 1) // s):
+            width = min(k - r * s, s)
+            xs = x[:, r * s:]
+            pad = (-xs.shape[1]) % s
+            if pad:
+                xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+            xr = xs.reshape(B, -1, s * C)[:, :t_out, :width * C]
+            wr = w[r * s:r * s + width].reshape(width * C, F)
+            part = jnp.einsum("btc,cf->btf", xr.astype(self.dtype),
+                              wr.astype(self.dtype))
+            y = part if y is None else y + part
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (F,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
 class ConvFeatureExtractor(nn.Module):
     conv_layers: Sequence[Tuple[int, int, int]] = DEFAULT_CONV_LAYERS
     mode: str = "default"          # "default" (group-norm block 0) | "layer_norm"
@@ -98,6 +144,12 @@ class ConvFeatureExtractor(nn.Module):
                     use_bias=self.conv_bias, dtype=self.dtype,
                     name=f"conv_{i}")(x)
             else:
+                # NOTE: a strided-matmul decomposition (_StridedConv) was
+                # measured at parity with XLA's conv lowering here (the
+                # [T, C] -> [T/s, sC] reshape is a physical relayout under
+                # TPU tiled layouts, costing what the conv lowering's own
+                # data movement costs); kept for in-kernel use by the
+                # fused front-end, XLA path stays nn.Conv
                 x = nn.Conv(
                     features=dim, kernel_size=(k,), strides=(stride,),
                     padding="VALID", use_bias=self.conv_bias,

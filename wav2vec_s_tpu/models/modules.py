@@ -149,10 +149,16 @@ class MultiheadSelfAttention(nn.Module):
 
         if isinstance(bias, FlashSpec):
             from wav2vec_s_tpu.ops.pallas_attention import (
-                blockwise_flash_attention)
-            out = blockwise_flash_attention(
-                split(q), split(k), split(v), bias.key_padding_mask,
-                bias.seq_len, bias.main_context, bias.right_context)
+                blockwise_flash_attention_packed)
+            rate, rng = 0.0, None
+            if self.dropout > 0.0 and not deterministic:
+                rate, rng = self.dropout, self.make_rng("dropout")
+            # packed layout: heads are sliced inside the kernel — no
+            # [B, H, T, Dh] transpose/pad copies in HBM
+            out = blockwise_flash_attention_packed(
+                q, k, v, bias.key_padding_mask, H,
+                bias.seq_len, bias.main_context, bias.right_context,
+                dropout_rate=rate, dropout_rng=rng)
         else:
             rng = None
             if self.dropout > 0.0 and not deterministic:
@@ -161,8 +167,8 @@ class MultiheadSelfAttention(nn.Module):
                 split(q), split(k), split(v), bias,
                 dropout_rate=self.dropout, deterministic=deterministic,
                 dropout_rng=rng)
-        B, _, Tq, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
+            B, _, Tq, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -68,8 +68,10 @@ class GumbelVectorQuantizer(nn.Module):
             idx = jnp.argmax(y_soft, axis=-1)
             y_hard = jax.nn.one_hot(idx, V, dtype=jnp.float32)
             sel = y_hard + y_soft - jax.lax.stop_gradient(y_soft)   # ST
+            sel_idx = idx
         else:
             sel = hard_onehot
+            sel_idx = hard_idx
 
         # combine with codebook: per-group matmul, batched over groups (MXU)
         out = jnp.einsum("ngv,gvd->ngd", sel,
@@ -83,4 +85,9 @@ class GumbelVectorQuantizer(nn.Module):
             "num_vars": G * V,
             "temp": temperature,
             "targets": hard_idx.reshape(B, T, G),
+            # codes actually selected by the (gumbel-noised) forward pass:
+            # two quantized outputs are equal iff these indices are equal,
+            # which lets the contrastive head's neg_is_pos check compare
+            # [.., G] ints instead of [.., D] vectors (wav2vec2.py:539-540)
+            "sel_codes": sel_idx.reshape(B, T, G),
         }

@@ -248,25 +248,37 @@ class BlockwiseTransformerEncoder(nn.Module):
 
         layout = block_layout(T + pad_len, mc, rc)
         x = append_right_context(x, layout)
-        # flash path: inference always; training too via the custom_vjp
-        # backward kernel — except with attention dropout, which the kernel
-        # does not implement (fall back to dense XLA attention then), and
+        # flash path: inference and training (custom_vjp backward kernel;
+        # attention dropout runs in-kernel via the TPU hardware PRNG) —
         # except under context parallelism: GSPMD cannot partition a
         # pallas_call's time axis, so CP always takes the XLA dense path
         # (the partitioner turns the QK^T einsum into an all-gather of K/V
         # over ``seq`` + local-query attention).
-        use_flash = c.attention_impl == "flash" and (
-            not train or c.attention_dropout == 0.0) and c.seq_axis is None
+        use_flash = c.attention_impl == "flash" and c.seq_axis is None
         if c.seq_axis is not None:
             x = jax.lax.with_sharding_constraint(
                 x, jax.sharding.PartitionSpec(None, c.seq_axis, None))
         if use_flash:
             from wav2vec_s_tpu.models.modules import FlashSpec
-            bias = FlashSpec(extend_padding_mask(pm, layout),
-                             T + pad_len, mc, rc)
+            from wav2vec_s_tpu.ops.pallas_attention import TILE
+            # pad to the kernel's 128-row tiling ONCE outside the layer
+            # stack — per-layer jnp.pad of every q/k/v operand (and slice
+            # of every output) was ~1.3 GB/step of pure copies at
+            # pre-train shapes; padded rows are masked keys and their
+            # outputs are stripped below
+            total = layout.total_len
+            flash_pad = (-total) % TILE
+            epm = extend_padding_mask(pm, layout)
+            if flash_pad:
+                x = jnp.pad(x, ((0, 0), (0, flash_pad), (0, 0)))
+                epm = jnp.pad(epm, ((0, 0), (0, flash_pad)),
+                              constant_values=True)
+            bias = FlashSpec(epm, T + pad_len, mc, rc)
         else:
             bias = block_attn_bias(layout, pm, dtype=jnp.float32)
         x = EncoderLayers(c, name="layers")(x, bias, train)
+        if use_flash and flash_pad:
+            x = x[:, :total]
         x = strip_right_context(x, layout)
         if c.layer_norm_first:
             # the single `layer_norm` param is applied post-stack in pre-LN
@@ -400,14 +412,19 @@ class Wav2Vec2Model(nn.Module):
                 tmax * tdecay ** jnp.asarray(num_updates, jnp.float32), tmin)
             q = self.quantizer(y, temp, train=train)
             y_q = self.project_q(q["x"])
+            codes = q["sel_codes"]
         else:
             q = {"prob_perplexity": None, "code_perplexity": None,
                  "num_vars": 0, "temp": 0.0}
             y_q = self.project_q(y)
+            codes = None
 
-        negs = self._sample_negatives(y_q)
         preds = self.final_proj(x_masked)
-        logits = self._compute_logits(preds, y_q, negs)
+        if codes is not None:
+            logits = self._contrastive_logits_matmul(preds, y_q, codes)
+        else:
+            negs = self._sample_negatives(y_q)
+            logits = self._compute_logits(preds, y_q, negs)
 
         return {
             "logits": logits,                       # [B, M, 1+N]
@@ -420,18 +437,59 @@ class Wav2Vec2Model(nn.Module):
             "temp": q["temp"],
         }
 
+    def _negative_indices(self, B, M):
+        """Uniform same-utterance distractor indices != own position
+        (wav2vec2.py:471-527's sampling distribution, drawn in-jit)."""
+        key = self.make_rng("negatives")
+        idxs = jax.random.randint(key, (B, M, self.cfg.n_negatives),
+                                  0, M - 1)
+        own = jnp.arange(M)[None, :, None]
+        return idxs + (idxs >= own)
+
+    def _contrastive_logits_matmul(self, x, y_q, codes):
+        """InfoNCE cosine logits via one pairwise matmul (quantized targets).
+
+        The reference (wav2vec2.py:471-542) materializes the gathered
+        negatives [B, M, N, D] and compares vectors elementwise; on TPU
+        that is ~300 MB of HBM traffic per step plus a scatter-add in the
+        backward.  Since cos(x_m, y_n) factorizes over normalized rows,
+        computing the full pairwise table [B, M, M] as an MXU matmul and
+        *gathering N scalars per row* is both cheaper and
+        backward-friendly (the gather's VJP scatters into [B, M, M] f32,
+        not [B, M, N, D]).  The neg_is_pos vector-equality mask reduces to
+        integer code comparison: quantized rows are equal iff their
+        selected codebook entries are equal.
+
+        x (preds), y_q: [B, M, D]; codes: [B, M, G] int -> [B, M, 1+N].
+        """
+        c = self.cfg
+        B, M, D = y_q.shape
+        idxs = self._negative_indices(B, M)                       # [B, M, N]
+        x32 = x.astype(jnp.float32)
+        y32 = y_q.astype(jnp.float32)
+        # torch cosine_similarity clamps the denominator at eps=1e-8
+        xn = x32 / jnp.maximum(
+            jnp.linalg.norm(x32, axis=-1, keepdims=True), 1e-8)
+        yn = y32 / jnp.maximum(
+            jnp.linalg.norm(y32, axis=-1, keepdims=True), 1e-8)
+        cos_all = jnp.einsum("bmd,bnd->bmn", xn, yn)              # [B, M, M]
+        pos = jnp.einsum("bmd,bmd->bm", xn, yn)                   # diagonal
+        neg = jnp.take_along_axis(cos_all, idxs, axis=-1)         # [B, M, N]
+        logits = jnp.concatenate([pos[:, :, None], neg], axis=-1)
+        logits = logits / c.logit_temp
+        # negatives identical to the positive -> -inf (code equality)
+        codes_n = jax.vmap(lambda cb, ib: cb[ib])(codes, idxs)    # [B,M,N,G]
+        neg_is_pos = jnp.all(codes_n == codes[:, :, None, :], axis=-1)
+        return logits.at[:, :, 1:].set(
+            jnp.where(neg_is_pos, -jnp.inf, logits[:, :, 1:]))
+
     def _sample_negatives(self, y):
         """Uniform same-utterance distractors (wav2vec2.py:471-527).
 
         y: [B, M, D] -> negs [B, M, N, D]; index != own position.
         """
-        c = self.cfg
         B, M, D = y.shape
-        N = c.n_negatives
-        key = self.make_rng("negatives")
-        idxs = jax.random.randint(key, (B, M, N), 0, M - 1)
-        own = jnp.arange(M)[None, :, None]
-        idxs = idxs + (idxs >= own)
+        idxs = self._negative_indices(B, M)
         return jax.vmap(lambda yb, ib: yb[ib])(y, idxs)
 
     def _compute_logits(self, x, pos, negs):

@@ -7,9 +7,18 @@ kernel streams K/V tiles with an online softmax (flash attention) and, since
 the block layout is a *compile-time constant*, the per-tile schedule is
 resolved at trace time:
 
-- fully-masked (q-tile, k-tile) pairs are skipped (not even loaded),
+- fully-masked (q_tile, k_tile) pairs are skipped (not even loaded),
 - fully-allowed pairs skip the bias add,
 - partial pairs add a precomputed bias tile.
+
+Packed head layout: the kernel reads q/k/v directly in the model's
+[B, S, H*Dh] activation layout and slices heads *inside* the kernel
+(``hpb`` heads per 128-lane block, grid (B, H/hpb)).  The earlier
+[B, H, S, Dh] layout forced XLA to materialize a transposed, lane-padded
+(64 -> 128) copy of every operand per layer — profiled at ~40% of the
+pre-train step's wall clock in relayout copies alone.  With the packed
+layout the projections feed the kernel in place and the output feeds
+out_proj in place; nothing is transposed or padded in HBM.
 
 Padding (bucketed audio lengths) is handled by a runtime per-batch valid-key
 count: columns >= kv_len are masked inside the kernel, so one compiled
@@ -19,10 +28,23 @@ Training uses the same kernel through a ``custom_vjp``: the backward kernel
 recomputes the softmax per q-tile (no [S, S] probabilities or per-row stats
 ever hit HBM) and accumulates dq/dk/dv in VMEM with the same compile-time
 tile skipping — the flash-attention backward specialized to the block mask.
-Attention dropout is not implemented in-kernel; the encoder falls back to
-dense XLA attention when training with attention_dropout > 0.
-Grid: (B, H); K/V for one head fit in VMEM at streaming sequence lengths
-(S <= ~2k).
+
+Attention dropout runs *in-kernel* via the TPU hardware PRNG
+(``pltpu.prng_seed`` / ``prng_random_bits``): each (b, head, q_tile,
+k_tile) reseeds deterministically, so the backward regenerates the
+identical keep mask without ever writing a [S, S] mask to HBM — the
+reference materializes the full dropout mask on the attention
+probabilities (multihead_attention.py's ``dropout_module``), which at
+pre-train shapes is ~1.1 G random draws per step through XLA's threefry.
+Dropout applies to the *normalized* probabilities
+(p_tilde = softmax(s) * keep / (1-rate)), so the online-softmax
+accumulators track sum(p) while the value accumulation uses p_tilde; the
+softmax-jacobian row correction sum(do * out) stays valid because
+sum_k g_k p_k = do . out with g = (do v^T) * keep/(1-rate).
+The interpret-mode (CPU test) path has no TPU PRNG — the wrapper falls
+back to a jnp reference with the same semantics there.
+Grid: (B, H/hpb); K/V for one head-block fit in VMEM at streaming
+sequence lengths (S <= ~2k).
 """
 
 from __future__ import annotations
@@ -41,12 +63,22 @@ NEG = -1e9
 
 
 def _tile_plan(allowed: np.ndarray, s_pad: int):
-    """Classify each (q_tile, k_tile): 0 skip, 1 full, 2 partial."""
+    """Classify each (q_tile, k_tile): 0 skip, 1 full, 2 partial.
+
+    The bias is stored COMPACT — only the partial tiles, stacked along the
+    sublane axis as [n_partial*TILE, TILE] — so kernel VMEM scales with
+    the number of mixed tiles (~O(nt) for the blockwise mask), not with
+    S^2: the full [s_pad, s_pad] f32 buffer blew the 16 MB scoped-VMEM
+    limit at 12-layer pre-train shapes.  ``slot[qi, ki]`` maps a partial
+    tile to its row block in the compact array.
+    """
     S = allowed.shape[0]
     ext = np.zeros((s_pad, s_pad), dtype=bool)
     ext[:S, :S] = allowed
     nt = s_pad // TILE
     plan = np.zeros((nt, nt), dtype=np.int8)
+    slot = np.full((nt, nt), -1, dtype=np.int32)
+    tiles = []
     for qi in range(nt):
         for ki in range(nt):
             tile = ext[qi * TILE:(qi + 1) * TILE, ki * TILE:(ki + 1) * TILE]
@@ -56,19 +88,45 @@ def _tile_plan(allowed: np.ndarray, s_pad: int):
                 plan[qi, ki] = 1
             else:
                 plan[qi, ki] = 2
-    bias = np.where(ext, 0.0, NEG).astype(np.float32)
-    return plan, bias
+                slot[qi, ki] = len(tiles)
+                tiles.append(np.where(tile, 0.0, NEG).astype(np.float32))
+    if not tiles:
+        tiles.append(np.zeros((TILE, TILE), np.float32))
+    bias = np.concatenate(tiles, axis=0)        # [n_partial*TILE, TILE]
+    return plan, bias, slot
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, o_ref, *,
-            plan, scale, s_pad):
+def _keep_scale(seed_ref, head, qi: int, ki: int, rate: float):
+    """Deterministic per-tile keep mask scaled by 1/(1-rate).
+
+    Reseeding the hardware PRNG with (seed, head*2^20 + qi*1024 + ki)
+    makes the draw a pure function of the (b, h, q_tile, k_tile)
+    coordinates, so forward and backward kernels regenerate identical
+    masks with zero HBM traffic.
+    """
+    bh = pl.program_id(0) * 4096 + head
+    # hardware seed takes at most 2 words: fold the coordinates into one
+    pltpu.prng_seed(seed_ref[0], bh * (1 << 20) + qi * 1024 + ki)
+    bits = pltpu.prng_random_bits((TILE, TILE))
+    # top 24 bits -> uniform [0, 1); shift first so the sign bit is clear
+    # and the int32 view is non-negative (Mosaic lacks uint32->f32 casts)
+    u = pltpu.bitcast(
+        jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32),
+                                    jnp.uint32(8)),
+        jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, o_ref, *,
+            plan, slot, scale, s_pad, dropout_rate, dh):
     nt = s_pad // TILE
+    head = pl.program_id(1)
 
     for qi in range(nt):
         q = q_ref[qi * TILE:(qi + 1) * TILE, :].astype(jnp.float32) * scale
         m = jnp.full((TILE, 1), NEG, jnp.float32)
         l = jnp.zeros((TILE, 1), jnp.float32)
-        acc = jnp.zeros((TILE, q.shape[-1]), jnp.float32)
+        acc = jnp.zeros((TILE, dh), jnp.float32)
         for ki in range(nt):
             kind = int(plan[qi, ki])
             if kind == 0:
@@ -78,26 +136,33 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, o_ref, *,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             if kind == 2:
-                s = s + bias_ref[qi * TILE:(qi + 1) * TILE,
-                                 ki * TILE:(ki + 1) * TILE]
-            # additive key-validity row (0 valid / NEG padded), per batch
+                sl = int(slot[qi, ki])
+                s = s + bias_ref[sl * TILE:(sl + 1) * TILE, :].astype(
+                    jnp.float32)
+            # additive key-validity row (0 valid / NEG padded)
             s = s + valid_ref[ki * TILE:(ki + 1) * TILE][None, :]
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
             v = v_ref[ki * TILE:(ki + 1) * TILE, :].astype(jnp.float32)
+            if dropout_rate > 0.0:
+                # dropout on normalized probs: values accumulate p*keep,
+                # the softmax denominator accumulates plain p
+                pv = p * _keep_scale(seed_ref, head, qi, ki, dropout_rate)
+            else:
+                pv = p
             acc = acc * corr + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                pv, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             m = m_new
         out = acc / jnp.maximum(l, 1e-20)
         o_ref[qi * TILE:(qi + 1) * TILE, :] = out.astype(o_ref.dtype)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, out_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, plan, scale,
-                s_pad):
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, out_ref,
+                do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, plan,
+                slot, scale, s_pad, dropout_rate, dh):
     """Flash backward: per q-tile softmax recompute + tile-skipped grads.
 
     dk/dv accumulate across q-tiles in VMEM scratch (zeroed per grid step
@@ -106,151 +171,186 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, out_ref, do_ref,
     nt = s_pad // TILE
     dk_acc[:] = jnp.zeros_like(dk_acc)
     dv_acc[:] = jnp.zeros_like(dv_acc)
+    head = pl.program_id(1)
 
-    for qi in range(nt):
-        ks = [int(plan[qi, ki]) for ki in range(nt)]
-        if not any(ks):
-            dq_ref[qi * TILE:(qi + 1) * TILE, :] = jnp.zeros(
-                (TILE, dq_ref.shape[-1]), dq_ref.dtype)
-            continue
-        qs = q_ref[qi * TILE:(qi + 1) * TILE, :].astype(jnp.float32) * scale
-        do = do_ref[qi * TILE:(qi + 1) * TILE, :].astype(jnp.float32)
-        out = out_ref[qi * TILE:(qi + 1) * TILE, :].astype(jnp.float32)
-        dvec = jnp.sum(do * out, axis=-1, keepdims=True)     # [TILE, 1]
-
-        def s_tile(ki, kind):
-            k = k_ref[ki * TILE:(ki + 1) * TILE, :].astype(jnp.float32)
-            s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            if kind == 2:
-                s = s + bias_ref[qi * TILE:(qi + 1) * TILE,
-                                 ki * TILE:(ki + 1) * TILE]
-            return s + valid_ref[ki * TILE:(ki + 1) * TILE][None, :], k
-
-        # pass A: recompute the online-softmax row stats
-        m = jnp.full((TILE, 1), NEG, jnp.float32)
-        l = jnp.zeros((TILE, 1), jnp.float32)
-        for ki in range(nt):
-            if ks[ki] == 0:
+    if True:
+        for qi in range(nt):
+            ks = [int(plan[qi, ki]) for ki in range(nt)]
+            if not any(ks):
+                dq_ref[qi * TILE:(qi + 1) * TILE, :] = jnp.zeros(
+                    (TILE, dh), dq_ref.dtype)
                 continue
-            s, _ = s_tile(ki, ks[ki])
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
-                                                 axis=-1, keepdims=True)
-            m = m_new
-        inv_l = 1.0 / jnp.maximum(l, 1e-20)
+            qs = q_ref[qi * TILE:(qi + 1) * TILE, :
+                       ].astype(jnp.float32) * scale
+            do = do_ref[qi * TILE:(qi + 1) * TILE, :
+                        ].astype(jnp.float32)
+            out = out_ref[qi * TILE:(qi + 1) * TILE, :
+                          ].astype(jnp.float32)
+            dvec = jnp.sum(do * out, axis=-1, keepdims=True)  # [TILE, 1]
 
-        # pass B: grads
-        dq = jnp.zeros((TILE, qs.shape[-1]), jnp.float32)
-        for ki in range(nt):
-            if ks[ki] == 0:
-                continue
-            s, k = s_tile(ki, ks[ki])
-            p = jnp.exp(s - m) * inv_l                        # [TILE, TILE]
-            v = v_ref[ki * TILE:(ki + 1) * TILE, :].astype(jnp.float32)
-            dv_acc[ki * TILE:(ki + 1) * TILE, :] += jax.lax.dot_general(
-                p, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = p * (dp - dvec)
-            dq = dq + jax.lax.dot_general(
-                ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # dk = ds^T . (q * scale): the scale folds in through qs
-            dk_acc[ki * TILE:(ki + 1) * TILE, :] += jax.lax.dot_general(
-                ds, qs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        dq_ref[qi * TILE:(qi + 1) * TILE, :] = (dq * scale).astype(
-            dq_ref.dtype)
+            def s_tile(ki, kind):
+                k = k_ref[ki * TILE:(ki + 1) * TILE, :
+                          ].astype(jnp.float32)
+                s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                if kind == 2:
+                    sl = int(slot[qi, ki])
+                    s = s + bias_ref[sl * TILE:(sl + 1) * TILE, :].astype(
+                        jnp.float32)
+                return s + valid_ref[ki * TILE:(ki + 1) * TILE][None, :], k
+
+            # pass A: recompute the online-softmax row stats
+            m = jnp.full((TILE, 1), NEG, jnp.float32)
+            l = jnp.zeros((TILE, 1), jnp.float32)
+            for ki in range(nt):
+                if ks[ki] == 0:
+                    continue
+                s, _ = s_tile(ki, ks[ki])
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
+                                                     axis=-1, keepdims=True)
+                m = m_new
+            inv_l = 1.0 / jnp.maximum(l, 1e-20)
+
+            # pass B: grads
+            dq = jnp.zeros((TILE, dh), jnp.float32)
+            for ki in range(nt):
+                if ks[ki] == 0:
+                    continue
+                s, k = s_tile(ki, ks[ki])
+                p = jnp.exp(s - m) * inv_l                    # [TILE, TILE]
+                v = v_ref[ki * TILE:(ki + 1) * TILE, :
+                          ].astype(jnp.float32)
+                if dropout_rate > 0.0:
+                    keep = _keep_scale(seed_ref, head, qi, ki, dropout_rate)
+                    pv = p * keep                             # p_tilde
+                else:
+                    keep = None
+                    pv = p
+                dv_acc[ki * TILE:(ki + 1) * TILE, :] += \
+                    jax.lax.dot_general(
+                        pv, do, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                if keep is not None:
+                    dp = dp * keep
+                ds = p * (dp - dvec)
+                dq = dq + jax.lax.dot_general(
+                    ds, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # dk = ds^T . (q * scale): the scale folds in through qs
+                dk_acc[ki * TILE:(ki + 1) * TILE, :] += \
+                    jax.lax.dot_general(
+                        ds, qs, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+            dq_ref[qi * TILE:(qi + 1) * TILE, :] = (
+                dq * scale).astype(dq_ref.dtype)
 
     dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
     dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attn(q, k, v, valid, scale, layout_cache, interpret):
-    plan, bias = layout_cache
-    s_pad, dh_pad = q.shape[2], q.shape[3]
-    kernel = functools.partial(_kernel, plan=plan, scale=scale, s_pad=s_pad)
-    return _pallas_fwd(q, k, v, jnp.asarray(bias), valid, kernel, s_pad,
-                       dh_pad, interpret)
-
-
-def _pallas_fwd(q, k, v, bias_c, valid, kernel, s_pad, dh_pad, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attn(q, k, v, valid, seed, scale, layout_cache, interpret,
+                dropout_rate, dh):
+    """q, k, v: [B, H, s_pad, dh] — per-head blocks with the head axis as
+    a leading block axis (Mosaic requires the trailing block dims to be
+    tile-aligned or full; dh stays UNPADDED, unlike the earlier 64->128
+    lane padding that doubled kernel flops and HBM bytes)."""
+    plan, bias, slot = layout_cache
+    s_pad = q.shape[2]
+    kernel = functools.partial(_kernel, plan=plan, slot=slot, scale=scale,
+                               s_pad=s_pad, dropout_rate=dropout_rate,
+                               dh=dh)
+    grid = (q.shape[0], q.shape[1])
+    spec4 = pl.BlockSpec((None, None, s_pad, dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bias_c = jnp.asarray(bias, jnp.bfloat16)    # 0 / -1e9: exact in bf16
+    bias_shape = bias.shape
     return pl.pallas_call(
         kernel,
-        grid=(q.shape[0], q.shape[1]),
-        in_specs=[
-            pl.BlockSpec((None, None, s_pad, dh_pad),
-                         lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, s_pad, dh_pad),
-                         lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, s_pad, dh_pad),
-                         lambda b, h: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s_pad, s_pad), lambda b, h: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, s_pad), lambda b, h: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, None, s_pad, dh_pad),
-                               lambda b, h: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        interpret=interpret,
-    )(q, k, v, bias_c, valid)
-
-
-def _flash_attn_fwd(q, k, v, valid, scale, layout_cache, interpret):
-    out = _flash_attn(q, k, v, valid, scale, layout_cache, interpret)
-    return out, (q, k, v, valid, out)
-
-
-def _flash_attn_bwd(scale, layout_cache, interpret, res, dout):
-    q, k, v, valid, out = res
-    plan, bias = layout_cache
-    s_pad, dh_pad = q.shape[2], q.shape[3]
-    kernel = functools.partial(_bwd_kernel, plan=plan, scale=scale,
-                               s_pad=s_pad)
-    spec4 = pl.BlockSpec((None, None, s_pad, dh_pad),
-                         lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
-        kernel,
-        grid=(q.shape[0], q.shape[1]),
+        grid=grid,
         in_specs=[
             spec4, spec4, spec4,
-            pl.BlockSpec((s_pad, s_pad), lambda b, h: (0, 0),
+            pl.BlockSpec(bias_shape, lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, s_pad), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=spec4,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias_c, valid, seed)
+
+
+def _flash_attn_fwd(q, k, v, valid, seed, scale, layout_cache, interpret,
+                    dropout_rate, dh):
+    out = _flash_attn(q, k, v, valid, seed, scale, layout_cache, interpret,
+                      dropout_rate, dh)
+    return out, (q, k, v, valid, seed, out)
+
+
+def _flash_attn_bwd(scale, layout_cache, interpret, dropout_rate, dh,
+                    res, dout):
+    q, k, v, valid, seed, out = res
+    plan, bias, slot = layout_cache
+    s_pad = q.shape[2]
+    kernel = functools.partial(_bwd_kernel, plan=plan, slot=slot,
+                               scale=scale, s_pad=s_pad,
+                               dropout_rate=dropout_rate, dh=dh)
+    grid = (q.shape[0], q.shape[1])
+    spec4 = pl.BlockSpec((None, None, s_pad, dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bias_c = jnp.asarray(bias, jnp.bfloat16)
+    bias_shape = bias.shape
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            spec4, spec4, spec4,
+            pl.BlockSpec(bias_shape, lambda b, h: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, s_pad), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             spec4, spec4,
         ],
         out_specs=[spec4, spec4, spec4],
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
-        scratch_shapes=[pltpu.VMEM((s_pad, dh_pad), jnp.float32),
-                        pltpu.VMEM((s_pad, dh_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((s_pad, dh), jnp.float32),
+                        pltpu.VMEM((s_pad, dh), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, jnp.asarray(bias), valid, out, dout)
-    return dq, dk, dv, None
+    )(q, k, v, bias_c, valid, seed, out, dout)
+    dseed = np.zeros(seed.shape, jax.dtypes.float0)
+    return dq, dk, dv, None, dseed
 
 
 _flash_attn.defvjp(_flash_attn_fwd, _flash_attn_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("seq_len", "main_context",
-                                              "right_context", "interpret"))
-def blockwise_flash_attention(q, k, v, key_padding_mask, seq_len: int,
-                              main_context: int, right_context: int,
-                              interpret: bool = False):
-    """q, k, v: [B, H, S, Dh] with S = total_len of
-    ``block_layout(seq_len, mc, rc)`` (rc copies appended);
-    key_padding_mask: [B, S] bool, True = padded key (the *extended* mask,
-    rc-copy section included — padding there is not contiguous).
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "seq_len", "main_context", "right_context", "interpret",
+    "dropout_rate"))
+def blockwise_flash_attention_packed(q, k, v, key_padding_mask,
+                                     num_heads: int, seq_len: int,
+                                     main_context: int, right_context: int,
+                                     interpret: bool = False,
+                                     dropout_rate: float = 0.0,
+                                     dropout_rng=None):
+    """q, k, v: [B, S, D] packed activations (D = num_heads * head_dim),
+    S = total_len of ``block_layout(seq_len, mc, rc)`` (rc copies
+    appended); key_padding_mask: [B, S] bool, True = padded key (the
+    *extended* mask, rc-copy section included — padding there is not
+    contiguous).
 
-    Returns [B, H, S, Dh]; padded query rows hold garbage (stripped by the
+    ``dropout_rate`` > 0 (training) applies attention dropout to the
+    normalized probabilities in-kernel via the TPU hardware PRNG seeded
+    from ``dropout_rng``; the RNG stream differs from the dense XLA
+    path's (threefry) — statistically equivalent, bit-different.
+
+    Returns [B, S, D]; padded query rows hold garbage (stripped by the
     caller along with the rc copies).
     """
     from wav2vec_s_tpu.ops.block_mask import block_layout
@@ -259,21 +359,75 @@ def blockwise_flash_attention(q, k, v, key_padding_mask, seq_len: int,
     # tests without callers having to thread the flag
     interpret = interpret or jax.default_backend() != "tpu"
     layout = block_layout(seq_len, main_context, right_context)
-    B, H, S, Dh = q.shape
-    assert S == layout.total_len, (S, layout.total_len)
+    B, S, D = q.shape
+    # callers may pre-pad the whole layer stack to the kernel tiling so
+    # the per-layer pad/slice copies vanish (padded rows = masked keys)
+    assert S in (layout.total_len, -(-layout.total_len // TILE) * TILE), (
+        S, layout.total_len)
+    dh = D // num_heads
+
+    if (dropout_rate > 0.0 and interpret) or dh % 8:
+        # jnp reference with identical semantics (no TPU PRNG off-device /
+        # unsupported head widths)
+        allowed = np.zeros((S, S), bool)
+        tl = layout.total_len
+        allowed[:tl, :tl] = layout.allowed
+        bias = jnp.asarray(np.where(allowed, 0.0, NEG),
+                           jnp.float32)[None, None]
+        bias = bias + jnp.where(key_padding_mask, NEG, 0.0)[:, None, None, :]
+        split = lambda t: t.reshape(B, S, num_heads, dh).transpose(
+            0, 2, 1, 3)
+        s = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k),
+                       preferred_element_type=jnp.float32) * (dh ** -0.5)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        if dropout_rate > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                        p.shape)
+            p = p * keep / (1.0 - dropout_rate)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p,
+                       split(v).astype(jnp.float32)).astype(q.dtype)
+        return o.transpose(0, 2, 1, 3).reshape(B, S, D)
+
     s_pad = -(-S // TILE) * TILE
-    dh_pad = max(-(-Dh // 128) * 128, 128)
-    plan, bias = _tile_plan(layout.allowed, s_pad)
+    plan, bias, slot = _tile_plan(layout.allowed, s_pad)
 
     def pad(x):
-        return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - S), (0, dh_pad - Dh)))
+        return jnp.pad(x, ((0, 0), (0, s_pad - S), (0, 0)))
 
-    qp, kp, vp = pad(q), pad(k), pad(v)
+    # per-head [B, H, s_pad, dh] operands: one relayout per operand, but
+    # dh stays unpadded (the 64->128 lane pad doubled kernel work) and
+    # Mosaic's trailing-dim rule is satisfied ((s_pad, dh-full))
+    four = lambda t: pad(t).reshape(B, s_pad, num_heads, dh).transpose(
+        0, 2, 1, 3)
+    qp, kp, vp = four(q), four(k), four(v)
     valid = jnp.pad(jnp.where(key_padding_mask, NEG, 0.0).astype(jnp.float32),
                     ((0, 0), (0, s_pad - S)), constant_values=NEG)[:, None, :]
 
+    if dropout_rate > 0.0:
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2 ** 31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
     # differentiable path: the custom_vjp routes the backward through the
     # tile-skipped flash backward kernel
-    out = _flash_attn(qp, kp, vp, valid, Dh ** -0.5, (plan, bias),
-                      interpret)
-    return out[:, :, :S, :Dh]
+    out = _flash_attn(qp, kp, vp, valid, seed, dh ** -0.5,
+                      (plan, bias, slot), interpret, dropout_rate, dh)
+    return out.transpose(0, 2, 1, 3).reshape(B, s_pad, D)[:, :S, :]
+
+
+def blockwise_flash_attention(q, k, v, key_padding_mask, seq_len: int,
+                              main_context: int, right_context: int,
+                              interpret: bool = False,
+                              dropout_rate: float = 0.0,
+                              dropout_rng=None):
+    """[B, H, S, Dh] head-split adapter over the packed kernel (tests and
+    legacy callers; the hot path calls the packed form directly to avoid
+    the transpose)."""
+    B, H, S, Dh = q.shape
+    packed = lambda t: t.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+    out = blockwise_flash_attention_packed(
+        packed(q), packed(k), packed(v), key_padding_mask, H, seq_len,
+        main_context, right_context, interpret=interpret,
+        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
+    return out.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)

@@ -201,7 +201,8 @@ class IncrementalGreedyDecoder:
         self.blocks_per_step = blocks_per_step
         self._enc_factory = lambda n: IncrementalBlockwiseEncoder(
             w2v_cfg, params["encoder"], n, t_cap=t_cap,
-            blocks_per_step=blocks_per_step)
+            blocks_per_step=blocks_per_step,
+            proj=params.get("encoder_proj"))
         self._enc_cache = {}         # n_streams -> encoder (jit reuse)
 
         @jax.jit
@@ -568,7 +569,8 @@ class CachedFusedGreedyDecoder(FusedIncrementalGreedyDecoder):
             # idle ~35% of the corpus wall-clock
             w2v = enc.cfg
             estate = init_state(N, w2v.encoder_layers, w2v.encoder_embed_dim,
-                                t_cap, w2v.compute_dtype)
+                                t_cap, w2v.compute_dtype,
+                                out_dim=enc.out_dim)
             cdtype = estate.out_cache.dtype
             jk = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim), cdtype)
                        for _ in range(caat.jointer_layers))

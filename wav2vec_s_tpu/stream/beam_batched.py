@@ -108,7 +108,8 @@ class BatchedBeamStreamingDecoder:
         self._token_buckets.append(self.U_cap)
         self._enc_factory = lambda n: IncrementalBlockwiseEncoder(
             w2v_cfg, params["encoder"], n, t_cap=t_cap,
-            blocks_per_step=blocks_per_step)
+            blocks_per_step=blocks_per_step,
+            proj=params.get("encoder_proj"))
         self._enc_cache = {}         # n_streams -> encoder (jit reuse)
 
         caat = self.caat
@@ -728,7 +729,7 @@ class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
                 w2v = enc.cfg
                 estate = init_state(N, w2v.encoder_layers,
                                     w2v.encoder_embed_dim, t_cap,
-                                    w2v.compute_dtype)
+                                    w2v.compute_dtype, out_dim=enc.out_dim)
                 cdtype = estate.out_cache.dtype
                 jk = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim),
                                      cdtype)

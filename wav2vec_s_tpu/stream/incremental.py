@@ -49,12 +49,13 @@ class IncrementalEncoderState(struct.PyTreeNode):
 
 
 def init_state(n_streams: int, n_layers: int, dim: int, t_cap: int,
-               dtype=jnp.float32) -> IncrementalEncoderState:
+               dtype=jnp.float32, out_dim: int | None = None
+               ) -> IncrementalEncoderState:
     z = tuple(jnp.zeros((t_cap, n_streams, dim), dtype)
               for _ in range(n_layers))
     return IncrementalEncoderState(
         k_cache=z, v_cache=z,
-        out_cache=jnp.zeros((t_cap, n_streams, dim), dtype),
+        out_cache=jnp.zeros((t_cap, n_streams, out_dim or dim), dtype),
         t_main=jnp.zeros((), jnp.int32))
 
 
@@ -73,7 +74,7 @@ class IncrementalBlockwiseEncoder:
     """Binds a Wav2Vec2 param tree to the jitted incremental step."""
 
     def __init__(self, w2v_cfg, params, n_streams: int, t_cap: int = 2048,
-                 blocks_per_step: int = 1, fused_attention=None):
+                 blocks_per_step: int = 1, fused_attention=None, proj=None):
         assert w2v_cfg.extractor_mode == "layer_norm", (
             "incremental streaming needs the stateless (layer-norm) conv "
             "front-end; 'default' group-norm normalizes over time")
@@ -99,6 +100,12 @@ class IncrementalBlockwiseEncoder:
             dtype=w2v_cfg.compute_dtype)
         self._table = sinusoidal_table(
             t_cap + POS_OFFSET + 2, w2v_cfg.encoder_embed_dim)
+        # optional --use-linear-layer output projection (params dict with
+        # kernel/[bias]); applied to committed rows so the out_cache holds
+        # projected features and every downstream consumer just works
+        self.proj = proj
+        self.out_dim = (proj["kernel"].shape[1] if proj is not None
+                        else w2v_cfg.encoder_embed_dim)
         # fused Pallas chunk attention (ops/chunk_attention.py) avoids the
         # HBM logits + separate softmax passes, but measured end-to-end on
         # v5e it LOSES to the XLA einsum path inside the fused corpus scan
@@ -284,6 +291,8 @@ class IncrementalBlockwiseEncoder:
                     [x_out[:, :n_main], x_out[:, n_rows - rc:]], axis=1)
             else:
                 commit = x_out[:, :n_keep]
+            if self.proj is not None:
+                commit = _dense(self.proj, commit)  # --use-linear-layer
             out_cache = jax.lax.dynamic_update_slice_in_dim(
                 state.out_cache,
                 commit.swapaxes(0, 1).astype(state.out_cache.dtype),
@@ -447,6 +456,8 @@ class IncrementalBlockwiseEncoder:
                     [x_out[:, :n_main], x_out[:, n_rows - rc:]], axis=1)
             else:
                 commit = x_out
+            if self.proj is not None:
+                commit = _dense(self.proj, commit)  # --use-linear-layer
             out_cache = jax.lax.dynamic_update_slice_in_dim(
                 state.out_cache,
                 commit.swapaxes(0, 1).astype(state.out_cache.dtype),
@@ -461,7 +472,7 @@ class IncrementalBlockwiseEncoder:
     def init(self) -> IncrementalEncoderState:
         return init_state(self.n, self.cfg.encoder_layers,
                           self.cfg.encoder_embed_dim, self.t_cap,
-                          self.cfg.compute_dtype)
+                          self.cfg.compute_dtype, out_dim=self.out_dim)
 
     def step(self, state, window: np.ndarray, flush: bool = False):
         """window: [N, self.window] samples for frames

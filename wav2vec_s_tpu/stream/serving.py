@@ -82,7 +82,8 @@ class ServingSession:
         self.max_emit = max_emit_per_chunk
         self.enc = IncrementalBlockwiseEncoder(
             w2v_cfg, params["encoder"], n_slots, t_cap=t_cap,
-            blocks_per_step=blocks_per_step)
+            blocks_per_step=blocks_per_step,
+            proj=params.get("encoder_proj"))
         self.rc = self.enc.rc
         self.n_main = self.enc.n_main
         self.stride = self.enc.n_main * self.enc.hop
@@ -98,7 +99,7 @@ class ServingSession:
         N = n_slots
         self._estate = init_state(N, w2v.encoder_layers,
                                   w2v.encoder_embed_dim, t_cap,
-                                  w2v.compute_dtype)
+                                  w2v.compute_dtype, out_dim=self.enc.out_dim)
         cdtype = self._estate.out_cache.dtype
         self._vis = jnp.zeros((N, t_cap), bool)
         self._jk = tuple(jnp.zeros((t_cap, N, caat.jointer_embed_dim),
