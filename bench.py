@@ -37,6 +37,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 BASELINE_AUDIO_SEC_PER_SEC = 500.0  # north-star target (BASELINE.md)
 
 
+def _compiled_flops(step, *args):
+    """XLA cost-analysis FLOPs of a jitted step (None if unavailable)."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if ca:
+            ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca0.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    return None
+
+
 def encoder_bench(attention_impl: str = "flash"):
     """One-shot blockwise encode throughput (the round-1 headline)."""
     from wav2vec_s_tpu.models import Wav2Vec2Model, wav2vec_s_base_config
@@ -229,11 +241,15 @@ def beam_bench(n_streams: int = 32, seconds: float = 10.0,
             for _ in range(n_streams)]
     dec.decode_corpus(wavs)  # compile + warmup
 
-    t0 = time.perf_counter()
-    texts, _ = dec.decode_corpus(wavs)
-    dt = time.perf_counter() - t0
+    # best-of timing like the greedy legs: the chip is shared and a
+    # single co-tenant burst would otherwise set the number
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        texts, _ = dec.decode_corpus(wavs)
+        times.append(time.perf_counter() - t0)
     assert any(texts), "beam decoder emitted nothing"
-    return n_streams * seconds / dt
+    return n_streams * seconds / min(times)
 
 
 def train_bench(attention_impl: str = "dense", B: int = 8,
@@ -252,13 +268,16 @@ def train_bench(attention_impl: str = "dense", B: int = 8,
     from wav2vec_s_tpu.train.recipes import make_caat_loss_fn
     from wav2vec_s_tpu.train.step import TrainState, make_train_step
 
-    w2v = wav2vec_s_base_config(
-        dtype="bfloat16", encoder_layerdrop=0.0,
-        attention_impl=attention_impl, dropout=0.0, attention_dropout=0.0,
-        activation_dropout=0.0)
-    caat = CaatConfig(dtype="bfloat16", dropout=0.0, attention_dropout=0.0,
-                      activation_dropout=0.0)
-    model = W2V2CaatModel(w2v, caat)
+    def build(impl):
+        w2v = wav2vec_s_base_config(
+            dtype="bfloat16", encoder_layerdrop=0.0,
+            attention_impl=impl, dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0)
+        caat = CaatConfig(dtype="bfloat16", dropout=0.0,
+                          attention_dropout=0.0, activation_dropout=0.0)
+        return w2v, caat, W2V2CaatModel(w2v, caat)
+
+    w2v, caat, model = build(attention_impl)
 
     S = int(seconds * 16000)
     src = jax.random.normal(jax.random.PRNGKey(0), (B, S), jnp.float32)
@@ -280,15 +299,18 @@ def train_bench(attention_impl: str = "dense", B: int = 8,
     step = jax.jit(make_train_step(loss_fn, opt), donate_argnums=0)
     batch = {"source": src, "targets": tgt}
 
-    flops = None
-    try:
-        ca = step.lower(state, batch, jax.random.PRNGKey(1)
-                        ).compile().cost_analysis()
-        if ca:
-            ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops = float(ca0.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    # MFU numerator: the DENSE-attention twin's cost-analysis FLOPs for
+    # every impl — a fixed, impl-independent workload measure (the flash
+    # graph's own count mixes Pallas accounting artifacts into the
+    # denominator and made wall-clock-faster kernels look "lower-MFU")
+    if attention_impl == "dense":
+        flops = _compiled_flops(step, state, batch, jax.random.PRNGKey(1))
+    else:
+        _, _, dmodel = build("dense")
+        dloss = make_caat_loss_fn(dmodel, caat, main_context=16,
+                                  right_context=8)
+        dstep = jax.jit(make_train_step(dloss, opt), donate_argnums=0)
+        flops = _compiled_flops(dstep, state, batch, jax.random.PRNGKey(1))
 
     state, logs = step(state, batch, jax.random.PRNGKey(1))
     float(logs["loss_total"])                 # compile + warmup sync
@@ -330,9 +352,12 @@ def pretrain_bench(B: int = 6, seconds: float = 15.0, iters: int = 5,
     from wav2vec_s_tpu.utils.masking import (
         compute_span_mask_np, expected_mask_count)
 
-    cfg = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0,
-                                attention_impl=attention_impl)
-    model = Wav2Vec2Model(cfg, encoder_type="blockwise")
+    def build(impl):
+        c = wav2vec_s_base_config(dtype="bfloat16", encoder_layerdrop=0.0,
+                                  attention_impl=impl)
+        return c, Wav2Vec2Model(c, encoder_type="blockwise")
+
+    cfg, model = build(attention_impl)
 
     S = int(seconds * 16000)
     src = jax.random.normal(jax.random.PRNGKey(0), (B, S), jnp.float32)
@@ -356,15 +381,16 @@ def pretrain_bench(B: int = 6, seconds: float = 15.0, iters: int = 5,
     loss_fn = make_pretrain_loss_fn(model, main_context=16, right_context=8)
     step = jax.jit(make_train_step(loss_fn, opt), donate_argnums=0)
 
-    flops = None
-    try:
-        ca = step.lower(state, batch, jax.random.PRNGKey(1)
-                        ).compile().cost_analysis()
-        if ca:
-            ca0 = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops = float(ca0.get("flops", 0.0)) or None
-    except Exception:
-        pass
+    # dense-twin FLOPs for the MFU numerator regardless of measured impl
+    # (see train_bench)
+    if attention_impl == "dense":
+        flops = _compiled_flops(step, state, batch, jax.random.PRNGKey(1))
+    else:
+        _, dmodel = build("dense")
+        dloss = make_pretrain_loss_fn(dmodel, main_context=16,
+                                      right_context=8)
+        dstep = jax.jit(make_train_step(dloss, opt), donate_argnums=0)
+        flops = _compiled_flops(dstep, state, batch, jax.random.PRNGKey(1))
 
     state, logs = step(state, batch, jax.random.PRNGKey(1))
     float(logs["loss_total"])                 # compile + warmup sync

@@ -299,8 +299,12 @@ class BeamLMState(struct.PyTreeNode):
     pv: tuple
     plen: jnp.ndarray
     origin: jnp.ndarray
-    sk: tuple
-    sv: tuple
+    # suffix caches STACKED over layers ([L, S, N*B, D]): the per-beam
+    # reorder is then ONE gather over each of sk/sv instead of 2*L small
+    # per-layer gathers — the reorder was ~1/3 of the beam iteration's
+    # wall clock, almost entirely per-op overhead
+    sk: jnp.ndarray
+    sv: jnp.ndarray
     svalid: jnp.ndarray
     sptr: jnp.ndarray
     h_last: jnp.ndarray
@@ -322,7 +326,7 @@ def lm_beam_init(pre: "LMState", plen: jnp.ndarray, origin: jnp.ndarray,
     IB = NI // N
     dtype = pre.k[0].dtype
     D = pre.h_last.shape[-1]
-    z = tuple(jnp.zeros((n_slots, NB, D), dtype) for _ in pre.k)
+    z = jnp.zeros((len(pre.k), n_slots, NB, D), dtype)
     rows = (jnp.arange(NB) // beams) * IB + origin   # global prefill rows
     return BeamLMState(
         pk=pre.k, pv=pre.v, plen=plen, origin=origin,
@@ -337,8 +341,8 @@ def lm_beam_reorder(state: BeamLMState, rows: jnp.ndarray) -> BeamLMState:
     stream (the beam expansion's ``n*B + origin_beam`` pattern)."""
     return state.replace(
         origin=state.origin[rows],
-        sk=tuple(k[:, rows] for k in state.sk),
-        sv=tuple(v[:, rows] for v in state.sv),
+        sk=state.sk[:, :, rows],
+        sv=state.sv[:, :, rows],
         svalid=state.svalid[:, rows],
         h_last=state.h_last[rows])
 
@@ -366,7 +370,7 @@ def lm_beam_step(params, cfg, state: BeamLMState, tokens: jnp.ndarray,
     N = NB // B
     U_pre, NI, _ = state.pk[0].shape
     IB = NI // N
-    S = state.sk[0].shape[0]
+    S = state.sk.shape[1]
 
     x = embed.astype(dtype)[tokens] * (D ** 0.5)                 # [NB, D]
     table = sinusoidal_table(
@@ -385,7 +389,7 @@ def lm_beam_step(params, cfg, state: BeamLMState, tokens: jnp.ndarray,
     new_svalid = jax.lax.dynamic_update_slice_in_dim(
         state.svalid, advance[None], ptr, axis=0)
 
-    new_sk, new_sv = list(state.sk), list(state.sv)
+    new_sk, new_sv = state.sk, state.sv
     for i in range(c.decoder_layers):
         lp = lm[f"layer_{i}"]
         att = lp["self_attn"]
@@ -394,25 +398,36 @@ def lm_beam_step(params, cfg, state: BeamLMState, tokens: jnp.ndarray,
         q = _dense(att["q_proj"], h_in)
         k1 = _dense(att["k_proj"], h_in)
         v1 = _dense(att["v_proj"], h_in)
-        new_sk[i] = jax.lax.dynamic_update_slice_in_dim(
-            new_sk[i], k1[None].astype(new_sk[i].dtype), ptr, axis=0)
-        new_sv[i] = jax.lax.dynamic_update_slice_in_dim(
-            new_sv[i], v1[None].astype(new_sv[i].dtype), ptr, axis=0)
+        new_sk = jax.lax.dynamic_update_slice(
+            new_sk, k1[None, None].astype(new_sk.dtype),
+            (i, ptr, 0, 0))
+        new_sv = jax.lax.dynamic_update_slice(
+            new_sv, v1[None, None].astype(new_sv.dtype),
+            (i, ptr, 0, 0))
 
         qh = q.reshape(N, B, H, Dh)
         kp = state.pk[i].astype(dtype).reshape(U_pre, N, IB, H, Dh)
         vp = state.pv[i].astype(dtype).reshape(U_pre, N, IB, H, Dh)
-        # logits against every seed's prefix, then select each beam's
-        # origin: IB x the logit FLOPs (tiny vs the cache read) buys ONE
-        # shared [U_pre, NI, D] read instead of a per-beam gather
-        lp_all = jnp.einsum("nbhd,unihd->nbihu", qh, kp,
-                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
-        lp_sel = jnp.take_along_axis(
-            lp_all, org[:, :, None, None, None], axis=2)[:, :, 0]
+        if IB == 1:
+            # the published operating point (--inter-beam 1): one shared
+            # seed per stream — skip the per-origin select entirely
+            lp_sel = jnp.einsum(
+                "nbhd,unhd->nbhu", qh, kp[:, :, 0],
+                preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        else:
+            # logits against every seed's prefix, then select each beam's
+            # origin: IB x the logit FLOPs (tiny vs the cache read) buys
+            # ONE shared [U_pre, NI, D] read instead of a per-beam gather
+            lp_all = jnp.einsum(
+                "nbhd,unihd->nbihu", qh, kp,
+                preferred_element_type=jnp.float32) * (Dh ** -0.5)
+            lp_sel = jnp.take_along_axis(
+                lp_all, org[:, :, None, None, None], axis=2)[:, :, 0]
         lp_sel = lp_sel + pre_bias[:, :, None, :]            # [N, B, H, U]
 
         ks = new_sk[i].astype(dtype).reshape(S, NB, H, Dh)
         vs = new_sv[i].astype(dtype).reshape(S, NB, H, Dh)
+        # (stacked [L, S, NB, D]; [i] is a static slice)
         ls = jnp.einsum("mhd,smhd->mhs", q.reshape(NB, H, Dh), ks,
                         preferred_element_type=jnp.float32) * (Dh ** -0.5)
         ls = ls + suf_bias[:, None, :]                       # [NB, H, S]
@@ -422,9 +437,12 @@ def lm_beam_step(params, cfg, state: BeamLMState, tokens: jnp.ndarray,
         p = jax.nn.softmax(both, axis=-1).astype(dtype)
         p_pre = p[..., :U_pre].reshape(N, B, H, U_pre)
         p_suf = p[..., U_pre:]
-        o_all = jnp.einsum("nbhu,unihd->nbihd", p_pre, vp)
-        o_pre = jnp.take_along_axis(
-            o_all, org[:, :, None, None, None], axis=2)[:, :, 0]
+        if IB == 1:
+            o_pre = jnp.einsum("nbhu,unhd->nbhd", p_pre, vp[:, :, 0])
+        else:
+            o_all = jnp.einsum("nbhu,unihd->nbihd", p_pre, vp)
+            o_pre = jnp.take_along_axis(
+                o_all, org[:, :, None, None, None], axis=2)[:, :, 0]
         o_suf = jnp.einsum("mhs,smhd->mhd", p_suf, vs)
         o = o_pre.reshape(NB, H, Dh) + o_suf
         h = _dense(att["out_proj"], o.reshape(NB, D))
@@ -441,7 +459,7 @@ def lm_beam_step(params, cfg, state: BeamLMState, tokens: jnp.ndarray,
     if c.decoder_normalize_before:
         x = _ln(lm["layer_norm"], x)
     h_last = jnp.where(advance[:, None], x, state.h_last)
-    return state.replace(sk=tuple(new_sk), sv=tuple(new_sv),
+    return state.replace(sk=new_sk, sv=new_sv,
                          svalid=new_svalid, sptr=ptr + 1, h_last=h_last)
 
 
