@@ -316,14 +316,17 @@ def train_bench(attention_impl: str = "dense", B: int = 8,
     float(logs["loss_total"])                 # compile + warmup sync
     # steady-state trainer pattern (train/cli.py): steps are dispatched
     # back-to-back, metrics read back only at log intervals — per-step
-    # host syncs left the chip ~18% idle (profiled)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
-    loss = float(logs["loss_total"])          # one sync per log window
-    dt = time.perf_counter() - t0
+    # host syncs left the chip ~18% idle (profiled).  Best-of-2 windows
+    # (shared chip; see agent_bench).
+    times = []
+    for w in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
+        loss = float(logs["loss_total"])      # one sync per log window
+        times.append(time.perf_counter() - t0)
     assert loss == loss, "NaN loss in train bench"
-    ups = iters / dt
+    ups = iters / min(times)
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
     mfu = (flops * ups / peak) if flops else None
     return {
@@ -394,13 +397,16 @@ def pretrain_bench(B: int = 6, seconds: float = 15.0, iters: int = 5,
 
     state, logs = step(state, batch, jax.random.PRNGKey(1))
     float(logs["loss_total"])                 # compile + warmup sync
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
-    loss = float(logs["loss_total"])          # one sync per log window
-    dt = time.perf_counter() - t0
+    # best-of-2 windows (shared chip; see agent_bench)
+    times = []
+    for w in range(2):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, logs = step(state, batch, jax.random.PRNGKey(2 + i))
+        loss = float(logs["loss_total"])      # one sync per log window
+        times.append(time.perf_counter() - t0)
     assert loss == loss, "NaN loss in pretrain bench"
-    ups = iters / dt
+    ups = iters / min(times)
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # v5e bf16
     mfu = (flops * ups / peak) if flops else None
     return {

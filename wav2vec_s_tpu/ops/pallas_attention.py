@@ -117,8 +117,8 @@ def _keep_scale(seed_ref, head, qi: int, ki: int, rate: float):
     return jnp.where(u >= rate, 1.0 / (1.0 - rate), 0.0)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, o_ref, *,
-            plan, slot, scale, s_pad, dropout_rate, dh):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, o_ref,
+            m_ref, l_ref, *, plan, slot, scale, s_pad, dropout_rate, dh):
     nt = s_pad // TILE
     head = pl.program_id(1)
 
@@ -158,11 +158,15 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, o_ref, *,
             m = m_new
         out = acc / jnp.maximum(l, 1e-20)
         o_ref[qi * TILE:(qi + 1) * TILE, :] = out.astype(o_ref.dtype)
+        # per-row softmax stats: the backward reuses them instead of a
+        # full recompute pass (the classic saved-LSE flash trade)
+        m_ref[qi * TILE:(qi + 1) * TILE, :] = m
+        l_ref[qi * TILE:(qi + 1) * TILE, :] = l
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, out_ref,
-                do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, plan,
-                slot, scale, s_pad, dropout_rate, dh):
+                do_ref, m_ref, l_ref, dq_ref, dk_ref, dv_ref, dk_acc,
+                dv_acc, *, plan, slot, scale, s_pad, dropout_rate, dh):
     """Flash backward: per q-tile softmax recompute + tile-skipped grads.
 
     dk/dv accumulate across q-tiles in VMEM scratch (zeroed per grid step
@@ -199,17 +203,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, out_ref,
                         jnp.float32)
                 return s + valid_ref[ki * TILE:(ki + 1) * TILE][None, :], k
 
-            # pass A: recompute the online-softmax row stats
-            m = jnp.full((TILE, 1), NEG, jnp.float32)
-            l = jnp.zeros((TILE, 1), jnp.float32)
-            for ki in range(nt):
-                if ks[ki] == 0:
-                    continue
-                s, _ = s_tile(ki, ks[ki])
-                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-                l = l * jnp.exp(m - m_new) + jnp.sum(jnp.exp(s - m_new),
-                                                     axis=-1, keepdims=True)
-                m = m_new
+            # row stats saved by the forward (no recompute pass)
+            m = m_ref[qi * TILE:(qi + 1) * TILE, :]
+            l = l_ref[qi * TILE:(qi + 1) * TILE, :]
             inv_l = 1.0 / jnp.maximum(l, 1e-20)
 
             # pass B: grads
@@ -254,6 +250,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, out_ref,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _flash_attn(q, k, v, valid, seed, scale, layout_cache, interpret,
                 dropout_rate, dh):
+    out, _, _ = _flash_attn_impl(q, k, v, valid, seed, scale, layout_cache,
+                                 interpret, dropout_rate, dh)
+    return out
+
+
+def _flash_attn_impl(q, k, v, valid, seed, scale, layout_cache, interpret,
+                     dropout_rate, dh):
     """q, k, v: [B, H, s_pad, dh] — per-head blocks with the head axis as
     a leading block axis (Mosaic requires the trailing block dims to be
     tile-aligned or full; dh stays UNPADDED, unlike the earlier 64->128
@@ -266,8 +269,11 @@ def _flash_attn(q, k, v, valid, seed, scale, layout_cache, interpret,
     grid = (q.shape[0], q.shape[1])
     spec4 = pl.BlockSpec((None, None, s_pad, dh), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((None, None, s_pad, 1), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
     bias_c = jnp.asarray(bias, jnp.bfloat16)    # 0 / -1e9: exact in bf16
     bias_shape = bias.shape
+    B, H = q.shape[0], q.shape[1]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -279,22 +285,26 @@ def _flash_attn(q, k, v, valid, seed, scale, layout_cache, interpret,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=spec4,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=[spec4, stat, stat],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, H, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, s_pad, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v, bias_c, valid, seed)
 
 
 def _flash_attn_fwd(q, k, v, valid, seed, scale, layout_cache, interpret,
                     dropout_rate, dh):
-    out = _flash_attn(q, k, v, valid, seed, scale, layout_cache, interpret,
-                      dropout_rate, dh)
-    return out, (q, k, v, valid, seed, out)
+    out, m, l = _flash_attn_impl(q, k, v, valid, seed, scale, layout_cache,
+                                 interpret, dropout_rate, dh)
+    return out, (q, k, v, valid, seed, out, m, l)
 
 
 def _flash_attn_bwd(scale, layout_cache, interpret, dropout_rate, dh,
                     res, dout):
-    q, k, v, valid, seed, out = res
+    q, k, v, valid, seed, out, m_s, l_s = res
     plan, bias, slot = layout_cache
     s_pad = q.shape[2]
     kernel = functools.partial(_bwd_kernel, plan=plan, slot=slot,
@@ -303,6 +313,8 @@ def _flash_attn_bwd(scale, layout_cache, interpret, dropout_rate, dh,
     grid = (q.shape[0], q.shape[1])
     spec4 = pl.BlockSpec((None, None, s_pad, dh), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((None, None, s_pad, 1), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
     bias_c = jnp.asarray(bias, jnp.bfloat16)
     bias_shape = bias.shape
     dq, dk, dv = pl.pallas_call(
@@ -315,14 +327,14 @@ def _flash_attn_bwd(scale, layout_cache, interpret, dropout_rate, dh,
             pl.BlockSpec((None, None, s_pad), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            spec4, spec4,
+            spec4, spec4, stat, stat,
         ],
         out_specs=[spec4, spec4, spec4],
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         scratch_shapes=[pltpu.VMEM((s_pad, dh), jnp.float32),
                         pltpu.VMEM((s_pad, dh), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, bias_c, valid, seed, out, dout)
+    )(q, k, v, bias_c, valid, seed, out, dout, m_s, l_s)
     dseed = np.zeros(seed.shape, jax.dtypes.float0)
     return dq, dk, dv, None, dseed
 
