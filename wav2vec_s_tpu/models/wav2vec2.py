@@ -247,6 +247,13 @@ class BlockwiseTransformerEncoder(nn.Module):
         x = _dropout(self, x, c.dropout, train)
 
         layout = block_layout(T + pad_len, mc, rc)
+        if c.seq_axis is not None:
+            # pin the rc-copy gather + concat to the seq sharding on BOTH
+            # sides: without the input-side constraint GSPMD resolved the
+            # concatenate at a stale batch sharding and fell back to an
+            # involuntary full rematerialization (replicate-then-shard)
+            x = jax.lax.with_sharding_constraint(
+                x, jax.sharding.PartitionSpec(None, c.seq_axis, None))
         x = append_right_context(x, layout)
         # flash path: inference and training (custom_vjp backward kernel;
         # attention dropout runs in-kernel via the TPU hardware PRNG) —

@@ -44,10 +44,15 @@ from wav2vec_s_tpu.ops.transducer.jnp_impl import (
 # "minus infinity" that survives a cumulative sum over the U axis in f32
 BLOCK = -1e9
 
-# lattice backend: "auto" selects the Pallas kernels on TPU (the optimized
-# twin of warp_transducer's fused CUDA pipeline) and the XLA row scans
-# elsewhere; "xla" / "pallas" force one.  ``interpret`` runs the Pallas
-# kernels in interpreter mode (CPU testing).
+# lattice backend: "auto" currently selects the XLA row scans everywhere.
+# The Pallas kernels (pallas_kernel.py — prefix-LSE alphas, flipped
+# betas, affine-scan delay; the structural twin of warp_transducer's
+# fused CUDA pipeline) are parity-tested and selectable with "pallas",
+# but on v5e they measure within noise of the XLA scans at training
+# shapes (28.3 vs 29.5 ms fwd+bwd at [16,32,65,512], BENCH r04 — the
+# pad-to-128 lane waste on the U axis and the multi-pallas_call
+# structure eat the fusion win), so they have not earned default status.
+# ``interpret`` runs the Pallas kernels in interpreter mode (CPU tests).
 _LATTICE_IMPL = "auto"
 _INTERPRET = False
 
@@ -60,8 +65,6 @@ def set_lattice_impl(name: str, interpret: bool = False):
 
 
 def _pallas_on() -> bool:
-    if _LATTICE_IMPL == "auto":
-        return jax.default_backend() == "tpu"
     return _LATTICE_IMPL == "pallas"
 
 

@@ -66,10 +66,19 @@ def _lattice_lse(acts):
 def _lattice_log_probs_lse(acts, labels, blank):
     """-> (lp_blank [B,T,U], lp_emit [B,T,U], lse [B,T,U])."""
     lse = _lattice_lse(acts)
-    lp_blank = acts[..., blank].astype(jnp.float32) - lse
-    emit = jnp.take_along_axis(
-        acts[:, :, :-1, :], labels[:, None, :, None].astype(jnp.int32),
-        axis=-1)[..., 0].astype(jnp.float32)
+    # one-hot einsums instead of size-1 column slices/gathers: the
+    # trailing singleton dims confused GSPMD's sharding propagation into
+    # involuntary full rematerializations in the multichip step (and
+    # per-element gathers are slow on TPU anyway; the extra einsum passes
+    # over acts are noise)
+    V = acts.shape[-1]
+    blank_vec = jax.nn.one_hot(jnp.asarray(blank), V, dtype=acts.dtype)
+    lp_blank = jnp.einsum("btuv,v->btu", acts,
+                          blank_vec).astype(jnp.float32) - lse
+    onehot = jax.nn.one_hot(labels.astype(jnp.int32), V,
+                            dtype=acts.dtype)                  # [B, U-1, V]
+    emit = jnp.einsum("btuv,buv->btu", acts[:, :, :-1, :],
+                      onehot).astype(jnp.float32)
     lp_emit = jnp.pad(emit - lse[:, :, :-1], ((0, 0), (0, 0), (0, 1)))
     return lp_blank, lp_emit, lse
 
