@@ -290,3 +290,17 @@ caat:
     vrecs = [r for r in recs if r.get("tag") == "valid"]
     assert vrecs and np.isfinite(vrecs[-1]["valid_bleu"])
     assert list((tmp_path / "ckpt_fbank").glob("step_*"))
+
+    # fbank streaming eval through the SAME eval CLI as the w2v2 path
+    # (VERDICT round-3 missing row #2: TransducerAgent counterpart)
+    from wav2vec_s_tpu.eval import cli as ecli
+    ecli.main(["simul", "--config", str(cfg),
+               "--ckpt-dir", str(tmp_path / "ckpt_fbank"),
+               "--manifest", str(tsv), "--step-read-blocks", "2",
+               "--intra-beam", "2", "--metric", "wer",
+               "--max-instances", "2"])
+    out = capsys.readouterr().out
+    recs = [json.loads(l) for l in out.splitlines() if l.startswith("{")]
+    summary = recs[-1]
+    assert {"WER", "AL", "AP", "DAL"} <= set(summary)
+    assert np.isfinite(summary["AL"])

@@ -76,14 +76,41 @@ def cmd_average(args):
 def _agent_factory(args, cfg):
     from wav2vec_s_tpu.data.tokenizer import build_tokenizer
     from wav2vec_s_tpu.stream.agent import AgentConfig, SpeechTransducerAgent
-    from wav2vec_s_tpu.stream.engine import StreamingEngine
     from wav2vec_s_tpu.stream.searcher import StreamingTransducerSearcher
 
-    model, tgt_dict, model_cfg, caat_cfg = _build_caat(cfg)
+    fbank = getattr(cfg.data, "features", "raw") == "fbank"
     params = _load_params(args.ckpt_dir, args.average_k)
-    engine = StreamingEngine(model, params,
-                             main_context=cfg.context.main_context,
-                             right_context=cfg.context.right_context)
+    if fbank:
+        # fbank CAAT family streams through the same agent/searcher with
+        # the chunked carry-over feature engine (rain TransducerAgent /
+        # OnlineSpeechModels, transducer_agent.py:170-614)
+        from wav2vec_s_tpu.data import Dictionary
+        from wav2vec_s_tpu.models import Wav2Vec2Config
+        from wav2vec_s_tpu.models.caat import CaatConfig
+        from wav2vec_s_tpu.models.fbank import FbankCaatModel
+        from wav2vec_s_tpu.stream.fbank_engine import FbankStreamingEngine
+
+        tgt_dict = Dictionary.load(cfg.data.vocab)
+        model_cfg = Wav2Vec2Config(
+            main_context=cfg.context.main_context,
+            right_context=cfg.context.right_context,
+            context_type="constant", **cfg.model)
+        caat_cfg = CaatConfig(vocab_size=len(tgt_dict), **cfg.caat)
+        model = FbankCaatModel(model_cfg, caat_cfg,
+                               conv_type=caat_cfg.frontend,
+                               jointer_type=caat_cfg.jointer_type)
+        engine = FbankStreamingEngine(
+            model, params, main_context=cfg.context.main_context,
+            right_context=cfg.context.right_context)
+        frame_samples = 160 * engine.subsample
+    else:
+        from wav2vec_s_tpu.stream.engine import StreamingEngine
+
+        model, tgt_dict, model_cfg, caat_cfg = _build_caat(cfg)
+        engine = StreamingEngine(model, params,
+                                 main_context=cfg.context.main_context,
+                                 right_context=cfg.context.right_context)
+        frame_samples = 320
     tokenizer = None
     if cfg.data.tokenizer != "word":
         tokenizer = build_tokenizer(cfg.data.tokenizer,
@@ -94,6 +121,7 @@ def _agent_factory(args, cfg):
     agent_cfg = AgentConfig(
         main_context=cfg.context.main_context,
         right_context=cfg.context.right_context,
+        frame_samples=frame_samples,
         step_read_blocks=args.step_read_blocks,
         intra_beam=args.intra_beam, inter_beam=args.inter_beam,
         decoder_step_read=args.decoder_step_read, eager=args.eager,

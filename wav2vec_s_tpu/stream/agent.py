@@ -39,6 +39,10 @@ SAMPLES_PER_MS = 16
 class AgentConfig:
     main_context: int = 16
     right_context: int = 8
+    # samples per ENCODER frame: 320 for the wav2vec conv stack, 160 *
+    # subsample (=640) for the fbank family (10 ms shift x 4 conv
+    # subsampling — rain's fbank agents count frames the same way)
+    frame_samples: int = 320
     step_read_blocks: int = 2          # DECISION_STEP in the eval scripts
     segment_size_ms: int = 25          # speech_fullytransducer_agent.py
     intra_beam: int = 5
@@ -86,7 +90,7 @@ class SpeechTransducerAgent:
         """Feed a new chunk of float32 samples; runs inference when the
         policy fires (policy(), transducer_searcher.py:702-726)."""
         self.samples.extend(np.asarray(samples, np.float32).tolist())
-        current_frames = len(self.samples) // SAMPLES_PER_FRAME
+        current_frames = len(self.samples) // self.cfg.frame_samples
         fire = False
         if self.processed_frames == 0:
             fire = current_frames >= self.init_frames
