@@ -41,7 +41,11 @@ def detok_pieces(vocab: Dictionary, tokenizer, ids) -> str:
     pieces = [vocab[int(i)] for i in ids if int(i) >= vocab.nspecial]
     if tokenizer is not None:
         return tokenizer.decode(pieces)
-    return "".join(pieces).replace("▁", " ").strip()
+    if any("▁" in p for p in pieces):
+        return "".join(pieces).replace("▁", " ").strip()
+    # plain word vocab: every token is a word (boundary at every token,
+    # WordEndChecker semantics for non-spm dictionaries)
+    return " ".join(pieces).strip()
 
 
 def merge_surface_scores(vocab: Dictionary, tokenizer, tokens: np.ndarray,
