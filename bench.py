@@ -199,7 +199,7 @@ def oneshot_bench(decision_step: int, n_streams: int = 256,
     return n_streams * seconds / min(times)
 
 
-def beam_bench(n_streams: int = 32, seconds: float = 10.0,
+def beam_bench(n_streams: int = 64, seconds: float = 10.0,
                beam: int = 5, max_steps: int = 8, max_len: int = 64,
                oneshot: bool = False, fused: bool = True):
     """Quality path: batched streaming BEAM decode at intra-beam 5
