@@ -222,3 +222,56 @@ def test_lm_slot_step_matches_lm_step(normalize_before):
                                    np.asarray(lm.h_last), atol=2e-5,
                                    rtol=1e-4)
     assert int(slot.ptr) == 7
+
+
+@pytest.mark.parametrize("normalize_before", [True, False])
+def test_lm_prefill_extend_matches_full_prefill(normalize_before):
+    """Extending a prefilled cache by the emitted tokens must equal a
+    from-scratch prefill over the concatenated prefix (the round-5 beam
+    carry-over contract)."""
+    caat = dataclasses.replace(
+        CAAT_TINY, decoder_normalize_before=normalize_before)
+    model = W2V2CaatModel(W2V_TINY, caat)
+    src = jax.random.normal(jax.random.PRNGKey(1), (2, 2400))
+    prev0 = jnp.asarray([[caat.bos, 7, 9], [caat.bos, 4, 5]], jnp.int32)
+    params = model.init(_rngs(), src, prev0, train=False)["params"]
+    rng = np.random.default_rng(7)
+    K, U_old, S, u_cap = 3, 6, 4, 16
+    old = np.full((K, U_old), caat.pad, np.int32)
+    old_lens = np.asarray([3, 6, 1], np.int32)
+    new_lens = np.asarray([2, 4, 0], np.int32)
+    for k in range(K):
+        old[k, 0] = caat.bos
+        old[k, 1:old_lens[k]] = rng.integers(4, caat.vocab_size,
+                                             old_lens[k] - 1)
+    new = np.full((K, S), caat.pad, np.int32)
+    for k in range(K):
+        new[k, :new_lens[k]] = rng.integers(4, caat.vocab_size, new_lens[k])
+
+    pre = caat_step.lm_prefill(params, caat, jnp.asarray(old),
+                               jnp.asarray(old_lens), u_cap)
+    ext = caat_step.lm_prefill_extend(
+        params, caat, pre, jnp.asarray(old_lens), jnp.asarray(new),
+        jnp.asarray(new_lens))
+
+    # oracle: full prefill over the concatenation
+    full = np.full((K, U_old + S), caat.pad, np.int32)
+    lens = old_lens + new_lens
+    for k in range(K):
+        full[k, :old_lens[k]] = old[k, :old_lens[k]]
+        full[k, old_lens[k]:lens[k]] = new[k, :new_lens[k]]
+    want = caat_step.lm_prefill(params, caat, jnp.asarray(full),
+                                jnp.asarray(lens), u_cap)
+
+    np.testing.assert_allclose(np.asarray(ext.h_last),
+                               np.asarray(want.h_last), atol=2e-5,
+                               rtol=2e-5)
+    for i in range(caat.decoder_layers):
+        for k in range(K):
+            L = int(lens[k])
+            np.testing.assert_allclose(
+                np.asarray(ext.k[i][:L, k]), np.asarray(want.k[i][:L, k]),
+                atol=2e-5, rtol=2e-5, err_msg=f"k layer {i} row {k}")
+            np.testing.assert_allclose(
+                np.asarray(ext.v[i][:L, k]), np.asarray(want.v[i][:L, k]),
+                atol=2e-5, rtol=2e-5, err_msg=f"v layer {i} row {k}")

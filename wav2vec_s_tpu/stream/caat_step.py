@@ -531,6 +531,102 @@ def lm_prefill(params, cfg, tokens: jnp.ndarray, lens: jnp.ndarray,
     return LMState(k=tuple(ks), v=tuple(vs), h_last=h_last)
 
 
+def lm_prefill_extend(params, cfg, state: LMState, plen: jnp.ndarray,
+                      tokens: jnp.ndarray, new_lens: jnp.ndarray) -> LMState:
+    """Extend a prefilled LM cache by a short batch of new tokens.
+
+    The chunk-entry prefix at inter_beam=1 is always the previous chunk's
+    prefix plus the tokens it emitted (<= max_steps of them), so the
+    per-chunk ``lm_prefill`` over the FULL width can instead attend the
+    new tokens against [existing cache | themselves, causal] — one narrow
+    batched call (the round-5 beam carry-over building block; parity with
+    a from-scratch prefill is pinned by tests/test_caat_step.py).
+
+    state: LMState with k/v [u_cap, K, D]; plen: [K] valid prefix lengths
+    (incl. bos); tokens: [K, S] right-padded new tokens; new_lens: [K] in
+    [0, S].  Returns the extended LMState (h_last at the last valid new
+    token; rows with new_lens == 0 keep their old h_last).
+    """
+    c = cfg
+    D = c.decoder_embed_dim
+    H = c.decoder_attention_heads
+    Dh = D // H
+    lm = params["decoder_lm"]
+    embed = params.get("embed_tokens", lm.get("embed_tokens"))
+    dtype = c.compute_dtype
+    K, S = tokens.shape
+    u_cap = state.k[0].shape[0]
+
+    x = embed.astype(dtype)[tokens] * (D ** 0.5)                # [K, S, D]
+    table = sinusoidal_table(
+        c.max_target_positions + PADDING_IDX + 1 + c.rand_pos_decoder, D)
+    pos = plen[:, None] + jnp.arange(S)[None, :] + 1 + PADDING_IDX
+    x = x + table[pos].astype(dtype)
+
+    # bias parts: prefix rows < plen visible; new tokens causal
+    pre_bias = jnp.where(
+        jnp.arange(u_cap)[None, :] < plen[:, None], 0.0,
+        MASK_VALUE)                                             # [K, u_cap]
+    causal = jnp.where(
+        jnp.arange(S)[None, :] <= jnp.arange(S)[:, None], 0.0, MASK_VALUE)
+
+    rows_idx = plen[:, None] + jnp.arange(S)[None, :]           # [K, S]
+    col_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, S))
+    write = (jnp.arange(S)[None, :] < new_lens[:, None])        # [K, S]
+    rows_idx = jnp.minimum(rows_idx, u_cap - 1)
+
+    new_k, new_v = list(state.k), list(state.v)
+    for i in range(c.decoder_layers):
+        lp = lm[f"layer_{i}"]
+        att = lp["self_attn"]
+        h_in = (_ln(lp["self_attn_layer_norm"], x)
+                if c.decoder_normalize_before else x)
+        q = _dense(att["q_proj"], h_in).reshape(K, S, H, Dh)
+        k1 = _dense(att["k_proj"], h_in)
+        v1 = _dense(att["v_proj"], h_in)
+
+        kc = state.k[i].astype(dtype).reshape(u_cap, K, H, Dh)
+        vc = state.v[i].astype(dtype).reshape(u_cap, K, H, Dh)
+        lg_pre = jnp.einsum("kshd,ukhd->khsu", q, kc,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        lg_pre = lg_pre + pre_bias[:, None, None, :]
+        kh = k1.reshape(K, S, H, Dh)
+        vh = v1.reshape(K, S, H, Dh)
+        lg_new = jnp.einsum("kshd,kjhd->khsj", q, kh,
+                            preferred_element_type=jnp.float32) * (Dh ** -0.5)
+        lg_new = lg_new + causal[None, None]
+        both = jnp.concatenate([lg_pre, lg_new], axis=-1)
+        p = jax.nn.softmax(both, axis=-1).astype(x.dtype)
+        o = (jnp.einsum("khsu,ukhd->kshd", p[..., :u_cap], vc)
+             + jnp.einsum("khsj,kjhd->kshd", p[..., u_cap:], vh)
+             ).reshape(K, S, D)
+        h = _dense(att["out_proj"], o)
+        if c.decoder_normalize_before:
+            x = x + h
+            hf = _dense(lp["fc2"], jax.nn.relu(
+                _dense(lp["fc1"], _ln(lp["final_layer_norm"], x))))
+            x = x + hf
+        else:
+            x = _ln(lp["self_attn_layer_norm"], x + h)
+            hf = _dense(lp["fc2"], jax.nn.relu(_dense(lp["fc1"], x)))
+            x = _ln(lp["final_layer_norm"], x + hf)
+
+        # scatter the valid new rows into the time-major caches
+        sel_k = jnp.where(write[..., None], k1.astype(state.k[i].dtype),
+                          state.k[i][rows_idx, col_idx])
+        sel_v = jnp.where(write[..., None], v1.astype(state.v[i].dtype),
+                          state.v[i][rows_idx, col_idx])
+        new_k[i] = state.k[i].at[rows_idx, col_idx].set(sel_k)
+        new_v[i] = state.v[i].at[rows_idx, col_idx].set(sel_v)
+
+    if c.decoder_normalize_before:
+        x = _ln(lm["layer_norm"], x)
+    idx = jnp.maximum(new_lens - 1, 0)[:, None, None].astype(jnp.int32)
+    h_new = jnp.take_along_axis(x, idx, axis=1)[:, 0]
+    h_last = jnp.where((new_lens > 0)[:, None], h_new, state.h_last)
+    return LMState(k=tuple(new_k), v=tuple(new_v), h_last=h_last)
+
+
 def lm_reorder(state: LMState, rows: jnp.ndarray) -> LMState:
     """Gather beam rows (the fairseq ``reorder_incremental_state``):
     rows [K] indices into the stream axis of the caches/h_last."""
