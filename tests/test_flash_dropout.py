@@ -141,3 +141,21 @@ def test_rate0_grads_match_dense_on_tpu():
     for a, b in zip(g_plain, g_dense):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-2)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="real-kernel checks need the TPU PRNG")
+def test_dropout_masks_differ_across_batch():
+    """Regression for the int32 seed-fold overflow (ADVICE r4): the old
+    ``b * 4096 + h`` batch/head fold multiplied by 2^20 made the batch
+    term b * 2^32 == 0 in int32, so every batch element drew the SAME
+    keep mask.  Feed identical q/k/v rows in every batch slot: with
+    per-batch masks the dropped outputs must differ across slots."""
+    q, k, v, pm = _qkv()
+    # make all batch rows identical so only the mask can differ
+    tile = lambda t: jnp.broadcast_to(t[:1], t.shape)
+    o = blockwise_flash_attention(tile(q), tile(k), tile(v), pm, SEQ, MC,
+                                  RC, dropout_rate=0.3,
+                                  dropout_rng=jax.random.PRNGKey(5))
+    diff = float(jnp.abs(o[0] - o[1]).max())
+    assert diff > 1e-3, f"batch slots drew identical dropout masks ({diff})"

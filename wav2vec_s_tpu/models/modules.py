@@ -154,8 +154,8 @@ class MultiheadSelfAttention(nn.Module):
             rate, rng = 0.0, None
             if self.dropout > 0.0 and not deterministic:
                 rate, rng = self.dropout, self.make_rng("dropout")
-            # packed layout: heads are sliced inside the kernel — no
-            # [B, H, T, Dh] transpose/pad copies in HBM
+            # packed [B, T, H*Dh] entry point: the wrapper relayouts to
+            # per-head blocks with dh UNPADDED (no 64->128 lane pad)
             out = blockwise_flash_attention_packed(
                 q, k, v, bias.key_padding_mask, H,
                 bias.seq_len, bias.main_context, bias.right_context,

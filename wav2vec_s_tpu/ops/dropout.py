@@ -19,6 +19,7 @@ falls back to ``jax.random.bernoulli`` with the same semantics.
 from __future__ import annotations
 
 import functools
+import logging
 
 import numpy as np
 import jax
@@ -26,7 +27,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 1024         # row tile
+ROWS = 1024         # row tile (capped per-call so in+out blocks fit VMEM)
+_VMEM_BYTES_PER_BUF = 4 * 1024 * 1024   # in + out f32 blocks stay << 16 MB
+
+logger = logging.getLogger(__name__)
+_warned_fallback = False
+
+
+def _rows_for(D: int, itemsize: int) -> int:
+    """Row tile such that one (rows, D) buffer stays under the VMEM cap.
+
+    At f32 with D=3072 (FFN-hidden activation dropout) the fixed 1024-row
+    tile made each of the in/out VMEM blocks ~12 MB — over the 16 MB
+    scoped-VMEM limit once both are resident.  Shrink rows for wide D;
+    keep the 8-sublane multiple Mosaic wants.
+    """
+    rows = min(ROWS, max(8, _VMEM_BYTES_PER_BUF // max(1, D * itemsize)))
+    return max(8, rows - rows % 8)
 
 
 def _mask_kernel(x_ref, seed_ref, o_ref, *, rate, kind):
@@ -42,16 +59,17 @@ def _mask_kernel(x_ref, seed_ref, o_ref, *, rate, kind):
 
 def _run(x2, seed, rate):
     N, D = x2.shape
-    grid = (-(-N // ROWS),)
+    rows = _rows_for(D, x2.dtype.itemsize)
+    grid = (-(-N // rows),)
     return pl.pallas_call(
         functools.partial(_mask_kernel, rate=rate, kind=0),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((ROWS, D), lambda i: (i, 0),
+            pl.BlockSpec((rows, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((ROWS, D), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
     )(x2, seed)
@@ -86,6 +104,15 @@ def hw_dropout(x, rate: float, rng, deterministic: bool = False):
         return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
     D = x.shape[-1]
     if D % 128 != 0:
+        # hidden perf cliff: warn once so off-dim configs know they pay
+        # the threefry path (ADVICE r4)
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            logger.warning(
+                "hw_dropout: feature dim %d is not a multiple of 128; "
+                "falling back to the (slower) threefry dropout path for "
+                "this and all further off-dim sites", D)
         keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
         return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
     seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)

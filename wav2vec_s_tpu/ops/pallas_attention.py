@@ -11,14 +11,14 @@ resolved at trace time:
 - fully-allowed pairs skip the bias add,
 - partial pairs add a precomputed bias tile.
 
-Packed head layout: the kernel reads q/k/v directly in the model's
-[B, S, H*Dh] activation layout and slices heads *inside* the kernel
-(``hpb`` heads per 128-lane block, grid (B, H/hpb)).  The earlier
-[B, H, S, Dh] layout forced XLA to materialize a transposed, lane-padded
-(64 -> 128) copy of every operand per layer — profiled at ~40% of the
-pre-train step's wall clock in relayout copies alone.  With the packed
-layout the projections feed the kernel in place and the output feeds
-out_proj in place; nothing is transposed or padded in HBM.
+Head layout: the wrapper relayouts the packed [B, S, H*Dh] activations
+to per-head [B, H, s_pad, dh] blocks (grid (B, H), one head per kernel
+instance) with dh kept UNPADDED — Mosaic's trailing-dim rule is
+satisfied because dh is the full last array dim.  The earlier variant
+additionally lane-padded dh 64 -> 128, which doubled kernel FLOPs and
+HBM bytes; removing that pad was the measured win.  The relayout
+transposes are still one copy per operand (see `four()` below) — the
+cost that remains is the transpose, not the pad.
 
 Padding (bucketed audio lengths) is handled by a runtime per-batch valid-key
 count: columns >= kv_len are masked inside the kernel, so one compiled
@@ -99,12 +99,17 @@ def _tile_plan(allowed: np.ndarray, s_pad: int):
 def _keep_scale(seed_ref, head, qi: int, ki: int, rate: float):
     """Deterministic per-tile keep mask scaled by 1/(1-rate).
 
-    Reseeding the hardware PRNG with (seed, head*2^20 + qi*1024 + ki)
+    Reseeding the hardware PRNG with (seed, bh*2^20 + qi*1024 + ki)
     makes the draw a pure function of the (b, h, q_tile, k_tile)
     coordinates, so forward and backward kernels regenerate identical
     masks with zero HBM traffic.
+
+    The batch/head fold uses ``b * num_heads + h`` (num_heads = grid dim
+    1) so the word stays in int32 for B*H < 2048: the earlier ``b * 4096
+    + h`` fold made the batch term b * 2^32, which wraps to 0 in int32 —
+    every batch element silently drew the SAME mask.
     """
-    bh = pl.program_id(0) * 4096 + head
+    bh = pl.program_id(0) * pl.num_programs(1) + head
     # hardware seed takes at most 2 words: fold the coordinates into one
     pltpu.prng_seed(seed_ref[0], bh * (1 << 20) + qi * 1024 + ki)
     bits = pltpu.prng_random_bits((TILE, TILE))
@@ -177,71 +182,70 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, valid_ref, seed_ref, out_ref,
     dv_acc[:] = jnp.zeros_like(dv_acc)
     head = pl.program_id(1)
 
-    if True:
-        for qi in range(nt):
-            ks = [int(plan[qi, ki]) for ki in range(nt)]
-            if not any(ks):
-                dq_ref[qi * TILE:(qi + 1) * TILE, :] = jnp.zeros(
-                    (TILE, dh), dq_ref.dtype)
+    for qi in range(nt):
+        ks = [int(plan[qi, ki]) for ki in range(nt)]
+        if not any(ks):
+            dq_ref[qi * TILE:(qi + 1) * TILE, :] = jnp.zeros(
+                (TILE, dh), dq_ref.dtype)
+            continue
+        qs = q_ref[qi * TILE:(qi + 1) * TILE, :
+                   ].astype(jnp.float32) * scale
+        do = do_ref[qi * TILE:(qi + 1) * TILE, :
+                    ].astype(jnp.float32)
+        out = out_ref[qi * TILE:(qi + 1) * TILE, :
+                      ].astype(jnp.float32)
+        dvec = jnp.sum(do * out, axis=-1, keepdims=True)  # [TILE, 1]
+
+        def s_tile(ki, kind):
+            k = k_ref[ki * TILE:(ki + 1) * TILE, :
+                      ].astype(jnp.float32)
+            s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if kind == 2:
+                sl = int(slot[qi, ki])
+                s = s + bias_ref[sl * TILE:(sl + 1) * TILE, :].astype(
+                    jnp.float32)
+            return s + valid_ref[ki * TILE:(ki + 1) * TILE][None, :], k
+
+        # row stats saved by the forward (no recompute pass)
+        m = m_ref[qi * TILE:(qi + 1) * TILE, :]
+        l = l_ref[qi * TILE:(qi + 1) * TILE, :]
+        inv_l = 1.0 / jnp.maximum(l, 1e-20)
+
+        # pass B: grads
+        dq = jnp.zeros((TILE, dh), jnp.float32)
+        for ki in range(nt):
+            if ks[ki] == 0:
                 continue
-            qs = q_ref[qi * TILE:(qi + 1) * TILE, :
-                       ].astype(jnp.float32) * scale
-            do = do_ref[qi * TILE:(qi + 1) * TILE, :
-                        ].astype(jnp.float32)
-            out = out_ref[qi * TILE:(qi + 1) * TILE, :
-                          ].astype(jnp.float32)
-            dvec = jnp.sum(do * out, axis=-1, keepdims=True)  # [TILE, 1]
-
-            def s_tile(ki, kind):
-                k = k_ref[ki * TILE:(ki + 1) * TILE, :
-                          ].astype(jnp.float32)
-                s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                if kind == 2:
-                    sl = int(slot[qi, ki])
-                    s = s + bias_ref[sl * TILE:(sl + 1) * TILE, :].astype(
-                        jnp.float32)
-                return s + valid_ref[ki * TILE:(ki + 1) * TILE][None, :], k
-
-            # row stats saved by the forward (no recompute pass)
-            m = m_ref[qi * TILE:(qi + 1) * TILE, :]
-            l = l_ref[qi * TILE:(qi + 1) * TILE, :]
-            inv_l = 1.0 / jnp.maximum(l, 1e-20)
-
-            # pass B: grads
-            dq = jnp.zeros((TILE, dh), jnp.float32)
-            for ki in range(nt):
-                if ks[ki] == 0:
-                    continue
-                s, k = s_tile(ki, ks[ki])
-                p = jnp.exp(s - m) * inv_l                    # [TILE, TILE]
-                v = v_ref[ki * TILE:(ki + 1) * TILE, :
-                          ].astype(jnp.float32)
-                if dropout_rate > 0.0:
-                    keep = _keep_scale(seed_ref, head, qi, ki, dropout_rate)
-                    pv = p * keep                             # p_tilde
-                else:
-                    keep = None
-                    pv = p
-                dv_acc[ki * TILE:(ki + 1) * TILE, :] += \
-                    jax.lax.dot_general(
-                        pv, do, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                         preferred_element_type=jnp.float32)
-                if keep is not None:
-                    dp = dp * keep
-                ds = p * (dp - dvec)
-                dq = dq + jax.lax.dot_general(
-                    ds, k, (((1,), (0,)), ((), ())),
+            s, k = s_tile(ki, ks[ki])
+            p = jnp.exp(s - m) * inv_l                    # [TILE, TILE]
+            v = v_ref[ki * TILE:(ki + 1) * TILE, :
+                      ].astype(jnp.float32)
+            if dropout_rate > 0.0:
+                keep = _keep_scale(seed_ref, head, qi, ki, dropout_rate)
+                pv = p * keep                             # p_tilde
+            else:
+                keep = None
+                pv = p
+            dv_acc[ki * TILE:(ki + 1) * TILE, :] += \
+                jax.lax.dot_general(
+                    pv, do, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                # dk = ds^T . (q * scale): the scale folds in through qs
-                dk_acc[ki * TILE:(ki + 1) * TILE, :] += \
-                    jax.lax.dot_general(
-                        ds, qs, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-            dq_ref[qi * TILE:(qi + 1) * TILE, :] = (
-                dq * scale).astype(dq_ref.dtype)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if keep is not None:
+                dp = dp * keep
+            ds = p * (dp - dvec)
+            dq = dq + jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dk = ds^T . (q * scale): the scale folds in through qs
+            dk_acc[ki * TILE:(ki + 1) * TILE, :] += \
+                jax.lax.dot_general(
+                    ds, qs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        dq_ref[qi * TILE:(qi + 1) * TILE, :] = (
+            dq * scale).astype(dq_ref.dtype)
 
     dk_ref[:] = dk_acc[:].astype(dk_ref.dtype)
     dv_ref[:] = dv_acc[:].astype(dv_ref.dtype)

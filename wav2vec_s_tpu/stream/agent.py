@@ -71,6 +71,13 @@ class SpeechTransducerAgent:
         self.processed_frames = 0
         self.hypo_queue: deque = deque()
         self.finished = False
+        # stateful engines (fbank carry-over featurizer) must drop
+        # previous-utterance state explicitly: the length heuristic alone
+        # reuses stale features when a new utterance's first prefix is
+        # longer than the previous utterance (ADVICE r4)
+        reset_engine = getattr(self.searcher.engine, "reset", None)
+        if reset_engine is not None:
+            reset_engine()
 
     @property
     def init_frames(self):

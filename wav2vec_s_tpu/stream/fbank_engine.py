@@ -117,8 +117,15 @@ class FbankStreamingEngine:
                 feature_buckets.append(v)
         self.feature_buckets = list(feature_buckets)
         self.token_buckets = list(token_buckets)
-        # per-utterance carry-over extractor state (reset when the prefix
-        # shrinks — a new utterance started)
+        # per-utterance carry-over extractor state; reset() is called by
+        # the agent at utterance start (the prefix-shrink heuristic in
+        # encode_prefix stays as a fallback — it alone misses a new
+        # utterance whose first prefix is >= the previous total length)
+        self._inc = IncrementalFbank()
+        self._feats = np.zeros((0, 80), np.float32)
+
+    def reset(self):
+        """Clear carry-over featurizer state (call at utterance start)."""
         self._inc = IncrementalFbank()
         self._feats = np.zeros((0, 80), np.float32)
 
