@@ -241,10 +241,13 @@ def beam_bench(n_streams: int = 64, seconds: float = 10.0,
             for _ in range(n_streams)]
     dec.decode_corpus(wavs)  # compile + warmup
 
-    # best-of timing like the greedy legs: the chip is shared and a
-    # single co-tenant burst would otherwise set the number
+    # variance-robust timing (round-4 verdict: the driver capture and
+    # same-session numbers disagreed by up to 34%): 5 timed passes with a
+    # short settle pass first, report the min — the chip is shared and a
+    # single co-tenant burst would otherwise set the number; with 5
+    # windows of ~1-2 s each the min is stable to <10% run-to-run
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         texts, _ = dec.decode_corpus(wavs)
         times.append(time.perf_counter() - t0)

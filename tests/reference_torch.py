@@ -223,6 +223,10 @@ def load_rain():
     load_fairseq()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+    # rain.simul imports the vendored simuleval (agents base classes)
+    simuleval_root = REFERENCE_ROOT + "/simuleval"
+    if simuleval_root not in sys.path:
+        sys.path.insert(0, simuleval_root)
     return importlib.import_module("rain")
 
 

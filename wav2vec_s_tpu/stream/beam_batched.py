@@ -130,7 +130,7 @@ class BatchedBeamStreamingDecoder:
             return (score + ln * lp) * ln ** ls
 
         def beam_block(params, prefixes, nlens, scores, jk, jv, visible,
-                       is_end, active, cap):
+                       is_end, active, cap, lm_pre=None, plen=None):
             """One ``search_at`` (transducer_searcher.py:313-459) for all
             streams at once.
 
@@ -165,14 +165,22 @@ class BatchedBeamStreamingDecoder:
             # the full-width caches (dead beams borrow seed IB-1; their
             # -inf scores keep them out of every top-k/pool reduction)
             IB = min(self.inter_beam, B)
-            lm_small = caat_step.lm_prefill(
-                params, caat, prefixes[:, :IB].reshape(N * IB, U_blk),
-                nlens[:, :IB].reshape(N * IB), U_blk)
+            if lm_pre is None:
+                lm_small = caat_step.lm_prefill(
+                    params, caat, prefixes[:, :IB].reshape(N * IB, U_blk),
+                    nlens[:, :IB].reshape(N * IB), U_blk)
+                plen_ib = nlens[:, :IB].reshape(N * IB)
+            else:
+                # prefill carry-over (fused scans, inter_beam=1): the
+                # chunk-entry prefix cache arrives already extended by
+                # ``lm_prefill_extend`` — no full-width recompute at all
+                assert IB == 1, "carried prefill requires inter_beam=1"
+                lm_small, plen_ib = lm_pre, plen
             origin0 = jnp.broadcast_to(
                 jnp.minimum(jnp.arange(B)[None, :], IB - 1),
                 (N, B)).reshape(-1)
             lm0 = caat_step.lm_beam_init(
-                lm_small, nlens[:, :IB].reshape(N * IB), origin0,
+                lm_small, plen_ib, origin0,
                 n_slots=max_steps_, beams=B)
             pool_t = jnp.full((N, 2 * B, U_blk), pad_id, jnp.int32)
             pool_s = jnp.full((N, 2 * B), NINF)
@@ -224,13 +232,39 @@ class BatchedBeamStreamingDecoder:
                 # full sorts — profiled at ~15% of the beam corpus
                 # decode), then merge the B*B survivors exactly
                 masked = logits + colmask
+                # hierarchical top-B: reduce the vocab axis to per-bucket
+                # maxima ONCE, then run the B iterative argmax passes on
+                # the [N, B, G] bucket maxima.  The flat passes re-read
+                # the whole [N, B, V] tensor B times (~5 x 13 MB of VPU
+                # re-scan per beam iteration); here only the winning
+                # 128-wide bucket is re-gathered per pass.  Tie-breaking
+                # is unchanged: argmax picks the first bucket holding the
+                # max, then the first index inside it — the flat argmax's
+                # first-global-index rule.
+                C = 128
+                G = -(-V // C)
+                tiles = jnp.pad(
+                    masked, ((0, 0), (0, 0), (0, G * C - V)),
+                    constant_values=NINF).reshape(N, B, G, C)
+                bmax = tiles.max(-1)                         # [N, B, G]
+                cols = jnp.arange(C)[None, None]
                 cand_v, cand_i = [], []
                 for _ in range(B):
-                    cand_v.append(masked.max(-1))
-                    cand_i.append(masked.argmax(-1).astype(jnp.int32))
-                    masked = jnp.where(
-                        jnp.arange(V)[None, None] == cand_i[-1][..., None],
-                        NINF, masked)
+                    g = bmax.argmax(-1)                      # [N, B]
+                    tile = jnp.take_along_axis(
+                        tiles, g[..., None, None], axis=2)[:, :, 0]
+                    gidx = g[..., None] * C + cols           # [N, B, C]
+                    for pi in cand_i:    # already-selected, same bucket
+                        tile = jnp.where(gidx == pi[..., None], NINF, tile)
+                    j = tile.argmax(-1)                      # [N, B]
+                    cand_v.append(jnp.take_along_axis(
+                        tile, j[..., None], -1)[..., 0])
+                    cand_i.append((g * C + j).astype(jnp.int32))
+                    # refresh the winning bucket's max sans the pick
+                    rest = jnp.where(cols == j[..., None], NINF, tile)
+                    bmax = jnp.where(
+                        jnp.arange(G)[None, None] == g[..., None],
+                        rest.max(-1)[..., None], bmax)
                 cand_v = jnp.stack(cand_v, -1)              # [N, B, B]
                 cand_i = jnp.stack(cand_i, -1)
                 cand_s = scores[:, :, None] + (cand_v - lse[:, :, None])
@@ -359,6 +393,41 @@ class BatchedBeamStreamingDecoder:
                     delays[i].extend([float(consumed_ms[i])] * len(ws))
         texts = [" ".join(w) for w in words_out]
         return texts, delays
+
+    def _extend_carry(self, params, lm_pre, plen, bt_full, run):
+        """Extend the carried LM prefix cache past a device re-seed.
+
+        At inter_beam=1 the re-seeded seed prefix is always the previous
+        seed plus the tokens the winning pool row appended (every pool
+        row extends the chunk-entry seed; the while body adds at most
+        ``max_steps`` of them), so the carried ``LMState`` advances with
+        one narrow ``lm_prefill_extend`` call instead of a full-width
+        ``lm_prefill`` next chunk.  Streams with ``run=False`` keep their
+        state (new_lens 0)."""
+        pad_id = self.vocab.pad()
+        S = self.max_steps
+        new_plen = jnp.where(
+            run, (bt_full != pad_id).sum(-1).astype(jnp.int32), plen)
+        cols = jnp.minimum(plen[:, None] + jnp.arange(S)[None, :],
+                           bt_full.shape[1] - 1)
+        toks = jnp.take_along_axis(bt_full, cols, axis=1)
+        new_lens = jnp.clip(new_plen - plen, 0, S)
+        lm_pre = caat_step.lm_prefill_extend(params, self.caat, lm_pre,
+                                             plen, toks, new_lens)
+        return lm_pre, plen + new_lens
+
+    @staticmethod
+    def _pad_carry(lm_pre, w: int):
+        """Grow the carried prefix cache to the next segment's width."""
+        u = lm_pre.k[0].shape[0]
+        if u == w:
+            return lm_pre
+        assert w > u, (u, w)
+        pad = ((0, w - u), (0, 0), (0, 0))
+        return caat_step.LMState(
+            k=tuple(jnp.pad(k, pad) for k in lm_pre.k),
+            v=tuple(jnp.pad(v, pad) for v in lm_pre.v),
+            h_last=lm_pre.h_last)
 
     def _reseed_best(self, pool_t, pool_s, is_end, run, prefixes, nlens,
                      scores, width_pad):
@@ -741,10 +810,20 @@ class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
                 prefixes = prefixes.at[:, 0, 0].set(bos_id)
                 nlens = jnp.ones((N, B), jnp.int32)
                 scores = jnp.full((N, B), NINF).at[:, 0].set(0.0)
+                # prefill carry-over: the chunk-entry seed prefix is
+                # always the previous chunk's seed + the tokens the
+                # re-seed appended, so the LM prefix cache extends by at
+                # most max_steps narrow rows per chunk (lm_prefill_extend)
+                # instead of a full-width lm_prefill per chunk
+                lm_pre = caat_step.lm_init(params, caat, N,
+                                           u_cap=segs[0][3] if segs
+                                           else self._width_of(n_chunks - 1))
+                plen = jnp.ones((N,), jnp.int32)
 
                 def chunk_step(carry, start, visible, is_end, run, step_fn,
                                cap, w, n_new):
-                    estate, jk, jv, prefixes, nlens, scores = carry
+                    (estate, jk, jv, prefixes, nlens, scores, lm_pre,
+                     plen) = carry
                     t0 = estate.t_main
                     win = jax.lax.dynamic_slice(audio_dev, (0, start),
                                                 (N, W))
@@ -758,16 +837,23 @@ class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
                         params, prefixes[:, :, :w], nlens, scores,
                         tuple(k[:cap] for k in jk),
                         tuple(v[:cap] for v in jv),
-                        visible, is_end, run, cap=None)
+                        visible, is_end, run, cap=None,
+                        lm_pre=lm_pre, plen=plen)
                     prefixes, nlens, scores, bt_full = self._reseed_best(
                         pool_t, pool_s, is_end, run, prefixes, nlens,
                         scores, U_cap - w)
-                    return (estate, jk, jv, prefixes, nlens, scores), bt_full
+                    lm_pre, plen = self._extend_carry(
+                        params, lm_pre, plen, bt_full, run)
+                    return (estate, jk, jv, prefixes, nlens, scores,
+                            lm_pre, plen), bt_full
 
-                carry = (estate, jk, jv, prefixes, nlens, scores)
+                carry = (estate, jk, jv, prefixes, nlens, scores, lm_pre,
+                         plen)
                 hists = []
                 for (k0, k1, cap, w) in segs:
                     step_c = enc.step_fn_cap(min(cap, t_cap))
+                    carry = carry[:6] + (
+                        self._pad_carry(carry[6], w), carry[7])
 
                     def body(carry, xs, step_c=step_c, cap=cap, w=w):
                         start, visible, is_end, run = xs
@@ -782,6 +868,8 @@ class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
                 kf = n_chunks - 1
                 cap_f = self._cap_of(t_mains[kf])
                 w_f = self._width_of(kf)
+                carry = carry[:6] + (self._pad_carry(carry[6], w_f),
+                                     carry[7])
                 carry, h = chunk_step(
                     carry, jnp.asarray(kf * stride, jnp.int32),
                     vis_d[kf], end_d[kf], run_d[kf],
@@ -903,27 +991,37 @@ class FusedOneShotBeamDecoder(OneShotBeamDecoder):
                 prefixes = prefixes.at[:, 0, 0].set(bos_id)
                 nlens = jnp.ones((N, B), jnp.int32)
                 scores = jnp.full((N, B), NINF).at[:, 0].set(0.0)
+                # prefill carry-over (see FusedBeamStreamingDecoder)
+                lm_pre = caat_step.lm_init(params, caat, N, u_cap=segs[0][3])
+                plen = jnp.ones((N,), jnp.int32)
 
                 hists = []
                 for (k0, k1, cap, w) in segs:
                     jk_c = tuple(k[:cap] for k in jk)
                     jv_c = tuple(v[:cap] for v in jv)
+                    lm_pre = self._pad_carry(lm_pre, w)
 
                     def body(carry, xs, jk_c=jk_c, jv_c=jv_c, w=w):
-                        prefixes, nlens, scores = carry
+                        prefixes, nlens, scores, lm_pre, plen = carry
                         visible, is_end, run = xs
                         pool_t, pool_s = core(
                             params, prefixes[:, :, :w], nlens, scores,
-                            jk_c, jv_c, visible, is_end, run, cap=None)
+                            jk_c, jv_c, visible, is_end, run, cap=None,
+                            lm_pre=lm_pre, plen=plen)
                         prefixes, nlens, scores, bt_full = \
                             self._reseed_best(pool_t, pool_s, is_end, run,
                                               prefixes, nlens, scores,
                                               U_cap - w)
-                        return (prefixes, nlens, scores), bt_full
+                        lm_pre, plen = self._extend_carry(
+                            params, lm_pre, plen, bt_full, run)
+                        return (prefixes, nlens, scores, lm_pre,
+                                plen), bt_full
 
                     xs = (vis_d[k0:k1], end_d[k0:k1], run_d[k0:k1])
-                    (prefixes, nlens, scores), h = jax.lax.scan(
-                        body, (prefixes, nlens, scores), xs)
+                    (prefixes, nlens, scores, lm_pre, plen), h = \
+                        jax.lax.scan(
+                            body, (prefixes, nlens, scores, lm_pre, plen),
+                            xs)
                     hists.append(h)
                 return jnp.concatenate(hists, axis=0)
 

@@ -36,6 +36,29 @@ def _dense(p, x):
     return y + p["bias"].astype(x.dtype) if "bias" in p else y
 
 
+def _dense_qkv(att, x):
+    """q/k/v projections as ONE [D, 3D] matmul.
+
+    The beam inner loop is op-count-bound (~130 small ops per LM step);
+    fusing the three projections drops two matmul+bias pairs per layer.
+    The weight concat is loop-invariant, so XLA's while-loop LICM hoists
+    it out of the decode loop.  Each output element keeps the exact same
+    contraction (the K axis is untouched), so results match the separate
+    projections bitwise.
+    """
+    ws = [att[n]["kernel"] for n in ("q_proj", "k_proj", "v_proj")]
+    if all("bias" in att[n] for n in ("q_proj", "k_proj", "v_proj")):
+        bs = jnp.concatenate(
+            [att[n]["bias"] for n in ("q_proj", "k_proj", "v_proj")])
+    else:
+        bs = None
+    w = jnp.concatenate(ws, axis=1).astype(x.dtype)
+    y = jnp.einsum("...d,df->...f", x, w)
+    if bs is not None:
+        y = y + bs.astype(x.dtype)
+    return jnp.split(y, 3, axis=-1)
+
+
 def _ln(p, x):
     return fp32_layer_norm(x, p["scale"], p["bias"])
 
@@ -116,9 +139,7 @@ def lm_step(params, cfg, state: LMState, tokens: jnp.ndarray,
         att = lp["self_attn"]
         h_in = (_ln(lp["self_attn_layer_norm"], x)
                 if c.decoder_normalize_before else x)
-        q = _dense(att["q_proj"], h_in)
-        k1 = _dense(att["k_proj"], h_in)
-        v1 = _dense(att["v_proj"], h_in)
+        q, k1, v1 = _dense_qkv(att, h_in)
         new_k[i] = new_k[i].at[index, rows].set(k1.astype(new_k[i].dtype))
         new_v[i] = new_v[i].at[index, rows].set(v1.astype(new_v[i].dtype))
         o = _attend_one(q, new_k[i].astype(dtype), new_v[i].astype(dtype),
@@ -221,9 +242,7 @@ def lm_slot_step(params, cfg, state: SlotLMState, tokens: jnp.ndarray,
         att = lp["self_attn"]
         h_in = (_ln(lp["self_attn_layer_norm"], x)
                 if c.decoder_normalize_before else x)
-        q = _dense(att["q_proj"], h_in)
-        k1 = _dense(att["k_proj"], h_in)
-        v1 = _dense(att["v_proj"], h_in)
+        q, k1, v1 = _dense_qkv(att, h_in)
         new_k[i] = jax.lax.dynamic_update_slice_in_dim(
             new_k[i], k1[None].astype(new_k[i].dtype), ptr, axis=0)
         new_v[i] = jax.lax.dynamic_update_slice_in_dim(
@@ -395,9 +414,7 @@ def lm_beam_step(params, cfg, state: BeamLMState, tokens: jnp.ndarray,
         att = lp["self_attn"]
         h_in = (_ln(lp["self_attn_layer_norm"], x)
                 if c.decoder_normalize_before else x)
-        q = _dense(att["q_proj"], h_in)
-        k1 = _dense(att["k_proj"], h_in)
-        v1 = _dense(att["v_proj"], h_in)
+        q, k1, v1 = _dense_qkv(att, h_in)
         new_sk = jax.lax.dynamic_update_slice(
             new_sk, k1[None, None].astype(new_sk.dtype),
             (i, ptr, 0, 0))
@@ -499,9 +516,8 @@ def lm_prefill(params, cfg, tokens: jnp.ndarray, lens: jnp.ndarray,
         att = lp["self_attn"]
         h_in = (_ln(lp["self_attn_layer_norm"], x)
                 if c.decoder_normalize_before else x)
-        q = _dense(att["q_proj"], h_in).reshape(K, U, H, Dh)
-        k1 = _dense(att["k_proj"], h_in)
-        v1 = _dense(att["v_proj"], h_in)
+        q, k1, v1 = _dense_qkv(att, h_in)
+        q = q.reshape(K, U, H, Dh)
         kh = k1.reshape(K, U, H, Dh)
         vh = v1.reshape(K, U, H, Dh)
         logits = jnp.einsum("kuhd,kjhd->khuj", q, kh,
@@ -581,9 +597,8 @@ def lm_prefill_extend(params, cfg, state: LMState, plen: jnp.ndarray,
         att = lp["self_attn"]
         h_in = (_ln(lp["self_attn_layer_norm"], x)
                 if c.decoder_normalize_before else x)
-        q = _dense(att["q_proj"], h_in).reshape(K, S, H, Dh)
-        k1 = _dense(att["k_proj"], h_in)
-        v1 = _dense(att["v_proj"], h_in)
+        q, k1, v1 = _dense_qkv(att, h_in)
+        q = q.reshape(K, S, H, Dh)
 
         kc = state.k[i].astype(dtype).reshape(u_cap, K, H, Dh)
         vc = state.v[i].astype(dtype).reshape(u_cap, K, H, Dh)
@@ -726,10 +741,21 @@ def jointer_beam_logits(params, cfg, h_last: jnp.ndarray, jk, jv,
             x = _ln(lp["final_layer_norm"], x)
 
     if c.share_input_output_embed:
-        logits = jnp.einsum("nbd,vd->nbv", x.astype(jnp.float32),
-                            params["embed_tokens"].astype(jnp.float32))
+        # embed table read at the COMPUTE dtype (the astype is
+        # loop-invariant -> hoisted): at bf16 configs the MXU computes
+        # bf16 passes for f32 inputs anyway (default matmul precision),
+        # so only the 2x HBM read of the f32 table is saved; f32 configs
+        # (CPU tests) are bitwise unchanged.  Accumulation stays f32.
+        logits = jnp.einsum("nbd,vd->nbv", x,
+                            params["embed_tokens"].astype(c.compute_dtype),
+                            preferred_element_type=jnp.float32)
     else:
-        logits = _dense(params["out_proj"], x.astype(jnp.float32))
+        logits = jnp.einsum(
+            "nbd,dv->nbv", x,
+            params["out_proj"]["kernel"].astype(c.compute_dtype),
+            preferred_element_type=jnp.float32)
+        if "bias" in params["out_proj"]:
+            logits = logits + params["out_proj"]["bias"]
     return logits
 
 
@@ -790,9 +816,16 @@ def jointer_step(params, cfg, h_last: jnp.ndarray, jk, jv,
             x = _ln(lp["final_layer_norm"], x)
 
     if c.share_input_output_embed:
-        logits = jnp.einsum("nd,vd->nv", x.astype(jnp.float32),
-                            params["embed_tokens"].astype(jnp.float32))
+        # compute-dtype table read, f32 accumulation (see
+        # jointer_beam_logits)
+        logits = jnp.einsum("nd,vd->nv", x,
+                            params["embed_tokens"].astype(c.compute_dtype),
+                            preferred_element_type=jnp.float32)
     else:
-        logits = _dense(params["out_proj"],
-                        x.astype(jnp.float32))
+        logits = jnp.einsum(
+            "nd,dv->nv", x,
+            params["out_proj"]["kernel"].astype(c.compute_dtype),
+            preferred_element_type=jnp.float32)
+        if "bias" in params["out_proj"]:
+            logits = logits + params["out_proj"]["bias"]
     return jax.nn.log_softmax(logits, axis=-1)

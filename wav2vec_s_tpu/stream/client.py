@@ -78,3 +78,43 @@ def evaluate_corpus(client: Client, agent_factory, segment_size: int = 25):
     for i in range(n):
         decode_instance(client, agent_factory(), i, segment_size)
     return client.get_scores()
+
+
+def evaluate_corpus_pool(client_factory, agent_factory, n_clients: int = 2,
+                         segment_size: int = 25):
+    """N-client orchestration of the HTTP eval path.
+
+    Twin of the reference's client pool (simuleval/cli.py:126-150), which
+    forks ``num_processes`` worker processes and shards instance ids
+    across them; the server accumulates all delays/hypotheses, so the
+    final ``/result`` fetch merges everything.  Worker THREADS instead of
+    processes here: the per-instance work is HTTP I/O plus jitted device
+    calls (both release the GIL), and the TPU admits a single process —
+    a process pool would deadlock on device initialization.  Each worker
+    gets its own ``Client`` (connection) and a fresh agent per utterance,
+    exactly like the reference's ``decode``.
+    """
+    import threading
+
+    boot = client_factory()
+    boot.reset_scorer()
+    n = boot.corpus_info()["num_sentences"]
+    errs = []
+
+    def worker(wid: int):
+        try:
+            client = client_factory()
+            for i in range(wid, n, n_clients):
+                decode_instance(client, agent_factory(), i, segment_size)
+        except Exception as e:          # surface worker failures
+            errs.append((wid, e))
+
+    threads = [threading.Thread(target=worker, args=(w,))
+               for w in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise RuntimeError(f"client workers failed: {errs}")
+    return boot.get_scores()
