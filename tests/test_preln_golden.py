@@ -254,7 +254,9 @@ def test_large_dims_preln_golden(tmp_path):
         jointer_layers=12, jointer_embed_dim=1024,
         jointer_ffn_embed_dim=4096, jointer_attention_heads=16,
         transducer_downsample=64, dropout=0.0, attention_dropout=0.0,
-        activation_dropout=0.0, encoder_proj=True)
+        # no encoder_proj: rain only creates the projection on an
+        # encoder/decoder dim mismatch, and Large is 1024 == 1024
+        activation_dropout=0.0)
 
     # 1) pre-train extract_features parity at Large dims
     params_w2v = import_wav2vec2_params(

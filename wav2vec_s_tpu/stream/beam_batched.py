@@ -337,6 +337,52 @@ class BatchedBeamStreamingDecoder:
         seg = self.cap_seg
         return min(-(-int(t_main) // seg) * seg, self.t_cap)
 
+    #: host->device wire format (see stream/batched.py): "int16" ships
+    #: 16-bit PCM (the SimulEval wire format) and converts on device,
+    #: halving bytes over the host link
+    transfer_dtype = "float32"
+
+    def stage(self, wavs: List[np.ndarray]):
+        """Start the async host->device corpus transfer (the greedy
+        decoders' staging protocol, stream/batched.py::stage): callers
+        that stage batch k+1 before blocking on batch k hide the host
+        link entirely.  The synchronous per-pass ``jnp.asarray(audio)``
+        upload was the largest single cost of the fused beam pass on the
+        remote-device link (~40 MB f32 at N=64x10 s — more wall clock
+        than the entire beam search).  Returns an opaque handle accepted
+        by ``decode_corpus``."""
+        import jax as _jax
+
+        N = len(wavs)
+        enc = self._enc_cache.get(N)
+        if enc is None:
+            enc = self._enc_cache[N] = self._enc_factory(N)
+        W = enc.window
+        max_samples = max(len(w) for w in wavs)
+        int16 = self.transfer_dtype == "int16"
+        audio = np.zeros((N, max_samples + W),
+                         np.int16 if int16 else np.float32)
+        for i, w in enumerate(wavs):
+            if int16 and w.dtype != np.int16:
+                audio[i, :len(w)] = np.clip(w * 32768.0, -32768, 32767)
+            else:
+                audio[i, :len(w)] = w
+        totals = np.asarray([len(w) for w in wavs])
+        return N, max_samples, totals, _jax.device_put(audio)
+
+    def _staged(self, wavs):
+        """Normalize a wavs-list or staged handle to (N, max_samples,
+        totals, device_audio)."""
+        if isinstance(wavs, tuple) and len(wavs) == 4:
+            return wavs
+        return self.stage(wavs)
+
+    def _dev_audio(self, x):
+        """Device-side wire-format conversion for a staged window."""
+        if self.transfer_dtype == "int16":
+            return x.astype(jnp.float32) / 32768.0
+        return x
+
     # -- fused-path helpers (shared by the zero-sync decoders) ----------
     def _chunk_schedule(self, frames_i, n_chunks, n_main, rc):
         """Host-static per-chunk schedule: revealed frames, per-stream
@@ -755,16 +801,10 @@ class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
             "fused beam path requires inter_beam=1, merge_add=False")
         vocab, caat = self.vocab, self.caat
         pad_id, bos_id = vocab.pad(), vocab.bos()
-        N, B, U_cap = len(wavs), self.B, self.U_cap
-        enc = self._enc_cache.get(N)
-        if enc is None:
-            enc = self._enc_cache[N] = self._enc_factory(N)
+        N, max_samples, totals, audio_staged = self._staged(wavs)
+        B, U_cap = self.B, self.U_cap
+        enc = self._enc_cache[N]
         hop, W = enc.hop, enc.window
-        max_samples = max(len(w) for w in wavs)
-        audio = np.zeros((N, max_samples + W), np.float32)
-        for i, w in enumerate(wavs):
-            audio[i, :len(w)] = w
-        totals = np.asarray([len(w) for w in wavs])
         frames_i = np.asarray([conv_output_length(int(n), self.conv_layers)
                                for n in totals])
         total_frames = (max_samples - enc.rf) // hop + 1
@@ -825,8 +865,8 @@ class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
                     (estate, jk, jv, prefixes, nlens, scores, lm_pre,
                      plen) = carry
                     t0 = estate.t_main
-                    win = jax.lax.dynamic_slice(audio_dev, (0, start),
-                                                (N, W))
+                    win = self._dev_audio(jax.lax.dynamic_slice(
+                        audio_dev, (0, start), (N, W)))
                     estate = step_fn(params["encoder"], estate, win)
                     x_new = jax.lax.dynamic_slice_in_dim(
                         estate.out_cache, t0, n_new, axis=0)
@@ -881,7 +921,7 @@ class FusedBeamStreamingDecoder(BatchedBeamStreamingDecoder):
             fn = self._fusedinc_cache[key] = jax.jit(fused)
 
         hist = np.asarray(fn(
-            self.params, jnp.asarray(audio), jnp.asarray(vis_s),
+            self.params, audio_staged, jnp.asarray(vis_s),
             jnp.asarray(end_s), jnp.asarray(run_s)))
 
         texts, delays = self._replay_emission(hist, run_s, end_s, n_chunks,
@@ -925,17 +965,11 @@ class FusedOneShotBeamDecoder(OneShotBeamDecoder):
             "OneShotBeamDecoder for other operating points")
         model, vocab, caat = self.model, self.vocab, self.caat
         pad_id, bos_id = vocab.pad(), vocab.bos()
-        N, B, U_cap = len(wavs), self.B, self.U_cap
-        enc = self._enc_cache.get(N)
-        if enc is None:
-            enc = self._enc_cache[N] = self._enc_factory(N)
+        N, max_samples, totals, audio_staged = self._staged(wavs)
+        B, U_cap = self.B, self.U_cap
+        enc = self._enc_cache[N]
         hop, W, rf = enc.hop, enc.window, enc.rf
         mc, rc = self.mc, self.rc
-        max_samples = max(len(w) for w in wavs)
-        audio = np.zeros((N, max_samples), np.float32)
-        for i, w in enumerate(wavs):
-            audio[i, :len(w)] = w
-        totals = np.asarray([len(w) for w in wavs])
         frames_i = np.asarray([conv_output_length(int(n), self.conv_layers)
                                for n in totals])
         total_frames = (max_samples - rf) // hop + 1
@@ -971,7 +1005,11 @@ class FusedOneShotBeamDecoder(OneShotBeamDecoder):
         key = (N, n_chunks, n_samples)
         fn = self._fusedbeam_cache.get(key)
         if fn is None:
-            def fused(params, au, vis_d, end_d, run_d):
+            def fused(params, audio_dev, vis_d, end_d, run_d):
+                # staged wire-format audio: slice + convert on device
+                au = self._dev_audio(jax.lax.dynamic_slice(
+                    audio_dev, (0, 0), (N, n_samples)))
+
                 def enc_one(a):
                     e, _ = model.apply(
                         {"params": params}, a, None, mc, rc, False,
@@ -1028,7 +1066,7 @@ class FusedOneShotBeamDecoder(OneShotBeamDecoder):
             fn = self._fusedbeam_cache[key] = jax.jit(fused)
 
         hist = np.asarray(fn(
-            self.params, jnp.asarray(audio[:, :n_samples]),
+            self.params, audio_staged,
             jnp.asarray(vis_s), jnp.asarray(end_s), jnp.asarray(run_s)))
 
         texts, delays = self._replay_emission(hist, run_s, end_s, n_chunks,

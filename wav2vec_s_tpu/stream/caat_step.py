@@ -586,10 +586,16 @@ def lm_prefill_extend(params, cfg, state: LMState, plen: jnp.ndarray,
     causal = jnp.where(
         jnp.arange(S)[None, :] <= jnp.arange(S)[:, None], 0.0, MASK_VALUE)
 
-    rows_idx = plen[:, None] + jnp.arange(S)[None, :]           # [K, S]
+    # invalid rows get an OUT-OF-RANGE index and scatter in 'drop' mode:
+    # reading the cache to re-write old values (the earlier formulation)
+    # forced XLA to COPY the full [u_cap, K, D] cache per call — the
+    # operand was both gathered (for the update values) and scattered, so
+    # it could not be updated in place; with drop-mode OOB rows the
+    # scatter aliases the carried buffer (87 MB/chunk saved at Base dims)
     col_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, S))
     write = (jnp.arange(S)[None, :] < new_lens[:, None])        # [K, S]
-    rows_idx = jnp.minimum(rows_idx, u_cap - 1)
+    rows_idx = jnp.where(write, plen[:, None] + jnp.arange(S)[None, :],
+                         u_cap)                                 # OOB drop
 
     new_k, new_v = list(state.k), list(state.v)
     for i in range(c.decoder_layers):
@@ -626,13 +632,12 @@ def lm_prefill_extend(params, cfg, state: LMState, plen: jnp.ndarray,
             hf = _dense(lp["fc2"], jax.nn.relu(_dense(lp["fc1"], x)))
             x = _ln(lp["final_layer_norm"], x + hf)
 
-        # scatter the valid new rows into the time-major caches
-        sel_k = jnp.where(write[..., None], k1.astype(state.k[i].dtype),
-                          state.k[i][rows_idx, col_idx])
-        sel_v = jnp.where(write[..., None], v1.astype(state.v[i].dtype),
-                          state.v[i][rows_idx, col_idx])
-        new_k[i] = state.k[i].at[rows_idx, col_idx].set(sel_k)
-        new_v[i] = state.v[i].at[rows_idx, col_idx].set(sel_v)
+        # scatter the valid new rows into the time-major caches (invalid
+        # rows dropped via their OOB index — no cache read, no copy)
+        new_k[i] = state.k[i].at[rows_idx, col_idx].set(
+            k1.astype(state.k[i].dtype), mode="drop")
+        new_v[i] = state.v[i].at[rows_idx, col_idx].set(
+            v1.astype(state.v[i].dtype), mode="drop")
 
     if c.decoder_normalize_before:
         x = _ln(lm["layer_norm"], x)
