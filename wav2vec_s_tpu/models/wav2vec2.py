@@ -399,7 +399,11 @@ class Wav2Vec2Model(nn.Module):
 
         B, T, D = feats.shape
         M = mask_positions.shape[1]
-        # scatter mask embedding at masked positions
+        # scatter mask embedding at masked positions.  (A one-hot-einsum
+        # formulation of this blend + the two row extractions below was
+        # measured SLOWER than the gathers at Base pre-train dims —
+        # unlike the contrastive head's index selection, these contract
+        # over the full T axis; kept as gathers.)
         mask_bool = jnp.zeros((B, T), dtype=bool)
         mask_bool = jax.vmap(lambda m, p: m.at[p].set(True))(
             mask_bool, mask_positions)
@@ -481,22 +485,29 @@ class Wav2Vec2Model(nn.Module):
             jnp.linalg.norm(y32, axis=-1, keepdims=True), 1e-8)
         cos_all = jnp.einsum("bmd,bnd->bmn", xn, yn)              # [B, M, M]
         pos = jnp.einsum("bmd,bmd->bm", xn, yn)                   # diagonal
-        # single-axis gather over the flattened [M*M] row: one index
-        # column instead of the [*, 2] coordinate tuples axis=-1
-        # take_along_axis builds (~20% cheaper fwd+bwd, measured)
+        # ONE-HOT MATMUL selection instead of gather/scatter: TPU
+        # gather of B*M*N (~230k) random indices and its backward
+        # scatter-add into [B, M, M] each ran ~2 ms/step (serialized
+        # index processing, profiled as the step's top copy ops); the
+        # same selection as a one-hot einsum is MXU work at trivial
+        # FLOPs, and its backward (d cos_all = onehot^T d_neg) is the
+        # same matmul transposed.  precision=HIGHEST keeps it EXACT:
+        # one operand is exact 0/1, the f32 pass-splitting reconstructs
+        # cos_all's f32 values bit-for-bit.
         N = idxs.shape[-1]
-        flat = (idxs + jnp.arange(M)[None, :, None] * M).reshape(B, M * N)
-        neg = jnp.take_along_axis(cos_all.reshape(B, M * M), flat,
-                                  axis=1).reshape(B, M, N)
-        logits = jnp.concatenate([pos[:, :, None], neg], axis=-1)
-        logits = logits / c.logit_temp
-        # negatives identical to the positive -> -inf (code equality);
-        # the [.., G] int rows are tiny — the vmap row gather beats a
-        # flat-index build here (measured)
-        codes_n = jax.vmap(lambda cb, ib: cb[ib])(codes, idxs)    # [B,M,N,G]
+        onehot = (idxs[..., None] ==
+                  jnp.arange(M)[None, None, None, :])             # [B,M,N,M]
+        neg = jnp.einsum("bmnk,bmk->bmn", onehot.astype(jnp.float32),
+                         cos_all, precision=jax.lax.Precision.HIGHEST)
+        # codes row-select with the same one-hot (ints exact in f32)
+        codes_n = jnp.einsum(
+            "bmnk,bkg->bmng", onehot.astype(jnp.float32),
+            codes.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST).astype(codes.dtype)
         neg_is_pos = jnp.all(codes_n == codes[:, :, None, :], axis=-1)
-        return logits.at[:, :, 1:].set(
-            jnp.where(neg_is_pos, -jnp.inf, logits[:, :, 1:]))
+        neg = jnp.where(neg_is_pos, -jnp.inf, neg / c.logit_temp)
+        return jnp.concatenate([pos[:, :, None] / c.logit_temp, neg],
+                               axis=-1)
 
     def _sample_negatives(self, y):
         """Uniform same-utterance distractors (wav2vec2.py:471-527).
