@@ -191,3 +191,77 @@ def test_streaming_search_matches_reference(tmp_path, intra_beam, eager,
         "emitted words diverge:\nref %s\nours %s" % (ref_words, got_words))
     # the search emitted something real (not a trivially empty run)
     assert any(any(w) for w in ref_words)
+
+
+@pytest.mark.slow
+def test_streaming_search_matches_reference_base_dims(tmp_path):
+    """The same chunk-for-chunk searcher pin at REAL Base dims (12x768
+    encoder, 6-layer decoder/jointer, 10k vocab, mc=16/rc=8): exercises
+    the convention surfaces toy dims cannot (12-head cache layouts,
+    sinusoidal offsets at real frame counts, 10k-vocab top-k ties)."""
+    from tests.test_golden_base_dims import _build_reference_base
+    from rain.models.w2v2_transducer import W2V2TransducerModel
+    from rain.simul import transducer_searcher as searcher_mod
+
+    load_rain()
+    w2v, encoder, decoder, dictionary = _build_reference_base(tmp_path)
+    # spm-style symbols for the word-boundary machinery (index layout kept)
+    for i, sym in enumerate(_spm_symbols(len(dictionary) - 4)):
+        idx = 4 + i
+        old = dictionary.symbols[idx]
+        del dictionary.indices[old]
+        dictionary.symbols[idx] = sym
+        dictionary.indices[sym] = idx
+    encoder.dictionary = dictionary
+    import argparse
+    args = argparse.Namespace(task_type="asr")
+    model_t = W2V2TransducerModel(args, encoder, decoder)
+    model_t.eval()
+
+    # chunk grid at base mc=16/rc=8 (conv: 320x downsample, rf 400)
+    from wav2vec_s_tpu.models import Wav2Vec2Config
+    from wav2vec_s_tpu.models.caat import CaatConfig, W2V2CaatModel
+    mc, rc = 16, 8
+    n_chunks = 3
+    rf, hop = 400, 320
+    n = (n_chunks * mc + rc - 1) * hop + rf
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    window = (mc + rc - 1) * hop + rf
+    stride = mc * hop
+    prefix_lens = [min(j * stride + window, len(wav))
+                   for j in range(n_chunks)]
+    prefix_lens[-1] = len(wav)
+
+    sd = {}
+    for k, v in encoder.state_dict().items():
+        sd[f"encoder.{k}"] = v
+    for k, v in decoder.state_dict().items():
+        sd[f"decoder.{k}"] = v
+    w2v_cfg = Wav2Vec2Config(
+        encoder_layerdrop=0.0, dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, dropout_input=0.0, dropout_features=0.0,
+        feature_grad_mult=1.0)
+    caat_cfg = CaatConfig(vocab_size=len(dictionary), dropout=0.0,
+                          attention_dropout=0.0, activation_dropout=0.0)
+    params = import_caat_params(sd, w2v_cfg, caat_cfg)
+    model = W2V2CaatModel(w2v_cfg, caat_cfg)
+    vocab = OurDictionary()
+    for sym in _spm_symbols(len(dictionary) - 4):
+        vocab.add_symbol(sym)
+    engine = StreamingEngine(model, params, main_context=mc,
+                             right_context=rc,
+                             audio_buckets=sorted(set(prefix_lens)),
+                             token_buckets=[8, 16, 32])
+
+    max_steps, len_scale = 3, 0.7
+    ref_rows, ref_words = _drive_reference(
+        model_t, dictionary, searcher_mod, wav, prefix_lens,
+        intra_beam=5, eager=True, read_step=mc, max_steps=max_steps,
+        len_scale=len_scale)
+    got_rows, got_words = _drive_ours(
+        engine, vocab, wav, prefix_lens, intra_beam=5, eager=True,
+        read_step=mc, max_steps=max_steps, len_scale=len_scale)
+
+    assert got_rows == ref_rows, (ref_rows, got_rows)
+    assert got_words == ref_words, (ref_words, got_words)
