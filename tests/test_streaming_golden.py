@@ -199,11 +199,11 @@ def test_streaming_search_matches_reference_base_dims(tmp_path):
     encoder, 6-layer decoder/jointer, 10k vocab, mc=16/rc=8): exercises
     the convention surfaces toy dims cannot (12-head cache layouts,
     sinusoidal offsets at real frame counts, 10k-vocab top-k ties)."""
+    load_rain()
     from tests.test_golden_base_dims import _build_reference_base
     from rain.models.w2v2_transducer import W2V2TransducerModel
     from rain.simul import transducer_searcher as searcher_mod
 
-    load_rain()
     w2v, encoder, decoder, dictionary = _build_reference_base(tmp_path)
     # spm-style symbols for the word-boundary machinery (index layout kept)
     for i, sym in enumerate(_spm_symbols(len(dictionary) - 4)):
