@@ -87,6 +87,10 @@ class Wav2Vec2Config:
     required_seq_len_multiple: int = 2
     attention_impl: str = "dense"          # "dense" | "flash" (Pallas,
                                            # inference path only)
+    remat_extractor: bool = False          # recompute the conv front-end
+                                           # in the backward instead of
+                                           # saving its wide activations
+                                           # ([B, S/5, 512] x2 per block)
     # context parallelism: name of a mesh axis to shard the encoder's TIME
     # dimension over (requires an ambient mesh via ``jax.set_mesh``; GSPMD
     # inserts the K/V all-gathers).  The reference has no sequence/context
@@ -315,7 +319,9 @@ class Wav2Vec2Model(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.feature_extractor = ConvFeatureExtractor(
+        extractor_cls = (nn.remat(ConvFeatureExtractor)
+                         if c.remat_extractor else ConvFeatureExtractor)
+        self.feature_extractor = extractor_cls(
             conv_layers=c.conv_feature_layers, mode=c.extractor_mode,
             layer_norm_num=c.layer_norm_num, conv_bias=c.conv_bias,
             dtype=c.compute_dtype)
